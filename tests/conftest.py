@@ -1,0 +1,40 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The real TPU chip (axon tunnel) is reserved for bench.py; unit tests use
+the host CPU with 8 virtual devices so sharding tests exercise real
+multi-device paths (XLA_FLAGS --xla_force_host_platform_device_count).
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def model64():
+    from indy7_mpc_tpu.models import indy7
+
+    return indy7(dtype=jnp.float64)
+
+
+@pytest.fixture(scope="session")
+def model32():
+    from indy7_mpc_tpu.models import indy7
+
+    return indy7(dtype=jnp.float32)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
