@@ -1,0 +1,59 @@
+"""Configuration dataclasses (replacing the reference's scattered constants).
+
+The reference configures via constructor kwargs and commented-out blocks
+(gato_controller.py:325-341, osqp_solver.py:7); here everything is explicit,
+hashable, and jit-static.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class CostConfig:
+    """End-effector tracking cost (reference: osqp_solver.py:7, 103-135).
+
+    Running EE-position weight is 1, terminal weight ``QN``; velocity and
+    torque regularization ``dQ``/``R`` are scaled by ``1/(|ee_err| + eps)``
+    when ``regularize`` is on (osqp_solver.py:114-115).
+    """
+
+    dQ: float = 0.01
+    R: float = 1e-5
+    QN: float = 100.0
+    regularize: bool = True
+    eps: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPConfig:
+    """SQP outer loop (reference: osqp_sqp.py:49-93, GATO solver defaults)."""
+
+    max_iters: int = 2
+    merit_mu: float = 10.0
+    num_alphas: int = 8  # line search alphas 1, 1/2, ..., 1/128 (osqp_sqp.py:58)
+    step_tol: float = 1e-3  # step-norm exit (osqp_sqp.py:90-91)
+    rho: float = 1e-6  # Levenberg regularization on Quu (solver "rho" state)
+    rho_max: float = 1e2
+    rho_factor: float = 4.0  # backoff multiplier when the QP step is rejected
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Closed-loop MPC settings (reference: osqp_mpc.py, gato_controller.py)."""
+
+    N: int = 32            # horizon knots
+    dt: float = 0.01       # knot spacing (s)
+    sim_substeps: int = 1  # plant RK4 substeps per control tick
+    goal_switch_dist: float = 0.1   # osqp_mpc.py:34
+    divergence_dist: float = 1.1    # osqp_mpc.py:41
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleConfig:
+    """Wrench-hypothesis sampling (reference: gato_controller.py:77-129)."""
+
+    batch_size: int = 16
+    f_ext_std: float = 20.0
+    f_ext_resample_std: float = 1.0
+    decay: float = 0.97  # gato_controller.py:128

@@ -1,0 +1,171 @@
+"""Per-knot dynamics linearization and Gauss-Newton cost blocks.
+
+TPU-native re-design of the reference's sparse-CSC KKT assembly
+(/root/reference/src/osqp_solver.py:31-135): instead of scipy CSC data
+rewrites feeding OSQP, we produce structured dense per-knot blocks
+``(A_k, B_k, c_k, Q_k, q_k, R_k, r_k)`` that flow straight into the batched
+Riccati sweep (ops/riccati.py).  Everything is vmap-able over a lane axis
+and scan-friendly over the horizon.
+
+Semantics parity notes (against osqp_solver.py / osqp_sqp.py):
+  * Linearization uses the explicit-Euler step (osqp_solver.py:70-81):
+      A_k = [[I, dt I], [dt da/dq, I + dt da/dv]],  B_k = [[0], [dt da/du]],
+      c_k = f(x_k, u_k) - A_k x_k - B_k u_k.
+    We get A, B by ``jacfwd`` of the same Euler step, so external-wrench
+    dependence is included exactly (the CPU reference omits wrenches; the
+    CUDA solver includes them).
+  * Cost blocks (osqp_solver.py:103-135): position Hessian is the outer
+    product of ``J^T ee_err`` (the reference's Gauss-Newton-of-the-gradient
+    form), velocity/control weights dQ, R adaptively scaled by
+    ``1/(|ee_err| + eps)``, terminal position weight QN; gradients
+    ``q_k = [Qmod J^T ee_err; dQmod v_k]``, ``r_k = Rmod u_k`` (the QP is
+    posed in absolute variables, exactly like the OSQP formulation).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CostConfig
+from ..dynamics.integrators import euler_step
+from ..dynamics.kinematics import ee_pos_jacobian
+from ..models.robot import RobotModel
+
+
+class QPBlocks(NamedTuple):
+    """Structured block-tridiagonal QP data for one lane.
+
+    Shapes (single lane): A (N-1, nx, nx), B (N-1, nx, nu), c (N-1, nx),
+    Q (N, nx, nx), q (N, nx), R (N-1, nu, nu), r (N-1, nu).
+    """
+
+    A: jnp.ndarray
+    B: jnp.ndarray
+    c: jnp.ndarray
+    Q: jnp.ndarray
+    q: jnp.ndarray
+    R: jnp.ndarray
+    r: jnp.ndarray
+
+
+def linearize_dynamics(
+    model: RobotModel, X, U, dt: float, f_ext_ee: Optional[jnp.ndarray] = None
+):
+    """Euler-step Jacobians along a trajectory.
+
+    Args:
+      X: (N, nx) states; U: (N-1, nu) controls; f_ext_ee: optional (6,)
+        local EE wrench held constant along the horizon (per-lane under
+        vmap).
+    Returns (A, B, c) with shapes (N-1, nx, nx), (N-1, nx, nu), (N-1, nx).
+    """
+
+    def step(x, u):
+        return euler_step(model, x, u, dt, f_ext_ee=f_ext_ee)
+
+    def lin_one(x, u):
+        A = jax.jacfwd(step, argnums=0)(x, u)
+        B = jax.jacfwd(step, argnums=1)(x, u)
+        c = step(x, u) - A @ x - B @ u
+        return A, B, c
+
+    return jax.vmap(lin_one)(X[:-1], U)
+
+
+def cost_blocks(model: RobotModel, cfg: CostConfig, X, U, goals):
+    """Gauss-Newton cost blocks along a trajectory.
+
+    Args:
+      X: (N, nx); U: (N-1, nu); goals: (N, 3) EE position targets.
+    Returns (Q, q, R, r).
+    """
+    N, nx = X.shape
+    nq = model.nq
+    nu = model.nu
+
+    def knot(x, goal, is_terminal):
+        eep, J = ee_pos_jacobian(model, x[:nq])
+        err = eep - goal
+        joint_err = J.T @ err  # (nq,)
+        scale = jnp.where(
+            cfg.regularize,
+            1.0 / (jnp.linalg.norm(err) + cfg.eps),
+            1.0,
+        )
+        dQ_mod = cfg.dQ * scale
+        R_mod = cfg.R * scale
+        Q_mod = jnp.where(is_terminal, cfg.QN, 1.0)
+
+        Qk = jnp.zeros((nx, nx), X.dtype)
+        Qk = Qk.at[:nq, :nq].set(Q_mod * jnp.outer(joint_err, joint_err))
+        Qk = Qk.at[nq:, nq:].set(dQ_mod * jnp.eye(nq, dtype=X.dtype))
+        qk = jnp.concatenate([Q_mod * joint_err, dQ_mod * x[nq:]])
+        return Qk, qk, R_mod
+
+    is_term = jnp.arange(N) == N - 1
+    Q, q, R_mod = jax.vmap(knot)(X, goals, is_term)
+    R = R_mod[:-1, None, None] * jnp.eye(nu, dtype=X.dtype)
+    r = R_mod[:-1, None] * U
+    return Q, q, R, r
+
+
+def build_qp(
+    model: RobotModel,
+    cfg: CostConfig,
+    X,
+    U,
+    goals,
+    dt: float,
+    f_ext_ee: Optional[jnp.ndarray] = None,
+) -> QPBlocks:
+    A, B, c = linearize_dynamics(model, X, U, dt, f_ext_ee=f_ext_ee)
+    Q, q, R, r = cost_blocks(model, cfg, X, U, goals)
+    return QPBlocks(A=A, B=B, c=c, Q=Q, q=q, R=R, r=r)
+
+
+# ---------------------------------------------------------------------------
+# Nonlinear merit components (reference: osqp_sqp.py:13-47).
+# ---------------------------------------------------------------------------
+
+def eepos_cost(model: RobotModel, cfg: CostConfig, X, U, goals):
+    """Nonlinear tracking cost, matching osqp_sqp.py:13-30 exactly.
+
+    Note: unlike the QP blocks, the merit cost does NOT apply the adaptive
+    1/(|err|+eps) scaling (osqp_sqp.py:27-29 uses raw dQ/R).
+    Returns (qcost, vcost, ucost) scalars (batched under vmap).
+    """
+    nq = model.nq
+
+    def knot(x, goal, is_terminal):
+        from ..dynamics.kinematics import ee_pos
+
+        err = ee_pos(model, x[:nq]) - goal
+        Q_mod = jnp.where(is_terminal, cfg.QN, 1.0)
+        return Q_mod * (err @ err), cfg.dQ * (x[nq:] @ x[nq:])
+
+    N = X.shape[0]
+    is_term = jnp.arange(N) == N - 1
+    qc, vc = jax.vmap(knot)(X, goals, is_term)
+    ucost = cfg.R * jnp.sum(U * U)
+    return jnp.sum(qc), jnp.sum(vc), ucost
+
+
+def integrator_err(
+    model: RobotModel, X, U, dt: float, f_ext_ee: Optional[jnp.ndarray] = None
+):
+    """Sum of per-knot Euler-defect norms (osqp_sqp.py:32-47).
+
+    The reference sums ||q_next - q_{k+1}|| + ||v_next - v_{k+1}|| per knot.
+    """
+    nq = model.nq
+
+    def knot(x, u, x_next):
+        pred = euler_step(model, x, u, dt, f_ext_ee=f_ext_ee)
+        dq = pred[:nq] - x_next[:nq]
+        dv = pred[nq:] - x_next[nq:]
+        return jnp.linalg.norm(dq) + jnp.linalg.norm(dv)
+
+    errs = jax.vmap(knot)(X[:-1], U, X[1:])
+    return jnp.sum(errs)
