@@ -50,20 +50,48 @@ class QPBlocks(NamedTuple):
     r: jnp.ndarray
 
 
+def make_step_fn(model: RobotModel, dt: float, wrench_world=None):
+    """Euler step closure, optionally under a world-frame EE wrench.
+
+    ``wrench_world``: (6,) spatial force in world coordinates (moment about
+    the world origin, the reference's convention).  It is re-mapped to the
+    EE joint frame at every evaluated configuration, which is what the CUDA
+    solver's per-lane ``set_external_wrench_batch`` does inside its rollouts
+    (gato_controller.py:90).
+    """
+    from ..dynamics.rnea import world_wrench_to_ee_joint
+
+    def step(x, u):
+        f_l = None
+        if wrench_world is not None:
+            f_l = world_wrench_to_ee_joint(model, x[: model.nq], wrench_world)
+        return euler_step(model, x, u, dt, f_ext_ee=f_l)
+
+    return step
+
+
 def linearize_dynamics(
-    model: RobotModel, X, U, dt: float, f_ext_ee: Optional[jnp.ndarray] = None
+    model: RobotModel,
+    X,
+    U,
+    dt: float,
+    f_ext_ee: Optional[jnp.ndarray] = None,
+    wrench_world: Optional[jnp.ndarray] = None,
 ):
     """Euler-step Jacobians along a trajectory.
 
     Args:
       X: (N, nx) states; U: (N-1, nu) controls; f_ext_ee: optional (6,)
-        local EE wrench held constant along the horizon (per-lane under
-        vmap).
+        local EE wrench held constant along the horizon; wrench_world:
+        optional (6,) world wrench re-mapped per knot (takes precedence).
     Returns (A, B, c) with shapes (N-1, nx, nx), (N-1, nx, nu), (N-1, nx).
     """
 
-    def step(x, u):
-        return euler_step(model, x, u, dt, f_ext_ee=f_ext_ee)
+    if wrench_world is not None:
+        step = make_step_fn(model, dt, wrench_world)
+    else:
+        def step(x, u):
+            return euler_step(model, x, u, dt, f_ext_ee=f_ext_ee)
 
     def lin_one(x, u):
         A = jax.jacfwd(step, argnums=0)(x, u)
@@ -119,8 +147,11 @@ def build_qp(
     goals,
     dt: float,
     f_ext_ee: Optional[jnp.ndarray] = None,
+    wrench_world: Optional[jnp.ndarray] = None,
 ) -> QPBlocks:
-    A, B, c = linearize_dynamics(model, X, U, dt, f_ext_ee=f_ext_ee)
+    A, B, c = linearize_dynamics(
+        model, X, U, dt, f_ext_ee=f_ext_ee, wrench_world=wrench_world
+    )
     Q, q, R, r = cost_blocks(model, cfg, X, U, goals)
     return QPBlocks(A=A, B=B, c=c, Q=Q, q=q, R=R, r=r)
 
@@ -153,16 +184,25 @@ def eepos_cost(model: RobotModel, cfg: CostConfig, X, U, goals):
 
 
 def integrator_err(
-    model: RobotModel, X, U, dt: float, f_ext_ee: Optional[jnp.ndarray] = None
+    model: RobotModel,
+    X,
+    U,
+    dt: float,
+    f_ext_ee: Optional[jnp.ndarray] = None,
+    wrench_world: Optional[jnp.ndarray] = None,
 ):
     """Sum of per-knot Euler-defect norms (osqp_sqp.py:32-47).
 
     The reference sums ||q_next - q_{k+1}|| + ||v_next - v_{k+1}|| per knot.
     """
     nq = model.nq
+    if wrench_world is not None:
+        step_fn = make_step_fn(model, dt, wrench_world)
+    else:
+        step_fn = lambda x, u: euler_step(model, x, u, dt, f_ext_ee=f_ext_ee)
 
     def knot(x, u, x_next):
-        pred = euler_step(model, x, u, dt, f_ext_ee=f_ext_ee)
+        pred = step_fn(x, u)
         dq = pred[:nq] - x_next[:nq]
         dv = pred[nq:] - x_next[nq:]
         return jnp.linalg.norm(dq) + jnp.linalg.norm(dv)
