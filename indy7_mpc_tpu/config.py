@@ -23,6 +23,13 @@ class CostConfig:
     QN: float = 100.0
     regularize: bool = True
     eps: float = 1.0
+    # QP formulation:
+    #   "gn"        — delta-variable Gauss-Newton (H = J^T J): well-
+    #                 conditioned, fast SQP convergence (the default).
+    #   "reference" — the reference's absolute-variable outer-product
+    #                 Hessian (osqp_solver.py:103-135), kept for parity
+    #                 tests against the OSQP-style oracle.
+    formulation: str = "gn"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,8 +11,10 @@ Semantics parity:
     the endpoint list (osqp_mpc.py:34-38);
   * divergence freeze (instead of ``break``) when distance >
     divergence_dist (osqp_mpc.py:41-43) — the carry stops updating;
-  * warm start by one-knot shift with the reference's terminal-state fill
-    ``[1, ..., 1, 0, ..., 0]`` (osqp_mpc.py:65-70).
+  * warm start by one-knot receding shift with the terminal state
+    duplicated.  (Deliberate deviation: the reference fills the shifted
+    terminal state with ``[1, ..., 1, 0, ..., 0]`` (osqp_mpc.py:70), which
+    measurably poisons warm starts at low SQP iteration counts.)
 """
 from __future__ import annotations
 
@@ -68,9 +70,6 @@ def run_mpc(
     N, dt = mpc_cfg.N, mpc_cfg.dt
     nq, nx, nu = model.nq, model.nx, model.nu
     endpoints = jnp.asarray(endpoints)
-    term_fill = jnp.concatenate(
-        [jnp.ones(nq, x0.dtype), jnp.zeros(nq, x0.dtype)]
-    )
 
     def tick(carry: MPCCarry, _):
         goal = endpoints[carry.goal_idx]
@@ -98,8 +97,8 @@ def run_mpc(
             wrench_world=wrench_world, substeps=mpc_cfg.sim_substeps,
         )
 
-        # Receding-horizon shift (osqp_mpc.py:65-70).
-        X_shift = jnp.concatenate([res.X[1:], term_fill[None]], axis=0)
+        # Receding-horizon shift (osqp_mpc.py:65-69, sane terminal fill).
+        X_shift = jnp.concatenate([res.X[1:], res.X[-1:]], axis=0)
         X_shift = X_shift.at[0].set(x_next)
         U_shift = jnp.concatenate([res.U[1:], res.U[-1:]], axis=0)
 

@@ -103,8 +103,10 @@ def linearize_dynamics(
 
 
 def cost_blocks(model: RobotModel, cfg: CostConfig, X, U, goals):
-    """Gauss-Newton cost blocks along a trajectory.
+    """Cost blocks along a trajectory (reference formulation).
 
+    Absolute-variable blocks mirroring osqp_solver.py:103-135: rank-1
+    position Hessian ``outer(J^T err, J^T err)``, gradient ``J^T err``.
     Args:
       X: (N, nx); U: (N-1, nu); goals: (N, 3) EE position targets.
     Returns (Q, q, R, r).
@@ -139,6 +141,61 @@ def cost_blocks(model: RobotModel, cfg: CostConfig, X, U, goals):
     return Q, q, R, r
 
 
+def cost_blocks_gn(model: RobotModel, cfg: CostConfig, X, U, goals):
+    """Delta-variable Gauss-Newton cost blocks (the TPU-native default).
+
+    Models the same nonlinear cost as :func:`eepos_cost` —
+    ``sum Q_mod |ee err|^2 + dQ |v|^2 + R |u|^2`` — as
+    ``0.5 d^T H d + g^T d`` around the current trajectory, with the proper
+    GN Hessian ``2 Q_mod J^T J`` (rank 3) instead of the reference's
+    rank-1 outer product.  Dramatically better conditioned: full Newton
+    steps are routinely accepted by the line search.
+    """
+    N, nx = X.shape
+    nq = model.nq
+    nu = model.nu
+
+    def knot(x, goal, is_terminal):
+        eep, J = ee_pos_jacobian(model, x[:nq])
+        err = eep - goal
+        scale = jnp.where(
+            cfg.regularize,
+            1.0 / (jnp.linalg.norm(err) + cfg.eps),
+            1.0,
+        )
+        dQ_mod = cfg.dQ * scale
+        R_mod = cfg.R * scale
+        Q_mod = jnp.where(is_terminal, cfg.QN, 1.0)
+
+        Qk = jnp.zeros((nx, nx), X.dtype)
+        Qk = Qk.at[:nq, :nq].set(2.0 * Q_mod * (J.T @ J))
+        Qk = Qk.at[nq:, nq:].set(2.0 * dQ_mod * jnp.eye(nq, dtype=X.dtype))
+        qk = jnp.concatenate([2.0 * Q_mod * (J.T @ err), 2.0 * dQ_mod * x[nq:]])
+        return Qk, qk, R_mod
+
+    is_term = jnp.arange(N) == N - 1
+    Q, q, R_mod = jax.vmap(knot)(X, goals, is_term)
+    R = 2.0 * R_mod[:-1, None, None] * jnp.eye(nu, dtype=X.dtype)
+    r = 2.0 * R_mod[:-1, None] * U
+    return Q, q, R, r
+
+
+def dynamics_defects(
+    model: RobotModel,
+    X,
+    U,
+    dt: float,
+    f_ext_ee: Optional[jnp.ndarray] = None,
+    wrench_world: Optional[jnp.ndarray] = None,
+):
+    """Per-knot integrator defects ``d_k = f(x_k, u_k) - x_{k+1}``."""
+    if wrench_world is not None:
+        step_fn = make_step_fn(model, dt, wrench_world)
+    else:
+        step_fn = lambda x, u: euler_step(model, x, u, dt, f_ext_ee=f_ext_ee)
+    return jax.vmap(step_fn)(X[:-1], U) - X[1:]
+
+
 def build_qp(
     model: RobotModel,
     cfg: CostConfig,
@@ -149,11 +206,44 @@ def build_qp(
     f_ext_ee: Optional[jnp.ndarray] = None,
     wrench_world: Optional[jnp.ndarray] = None,
 ) -> QPBlocks:
+    """Absolute-variable QP blocks (reference formulation).
+
+    The returned QP is over the trajectory variables themselves; its
+    affine term ``c`` is the linearization residual (osqp_solver.py:81).
+    """
     A, B, c = linearize_dynamics(
         model, X, U, dt, f_ext_ee=f_ext_ee, wrench_world=wrench_world
     )
     Q, q, R, r = cost_blocks(model, cfg, X, U, goals)
     return QPBlocks(A=A, B=B, c=c, Q=Q, q=q, R=R, r=r)
+
+
+def build_qp_gn(
+    model: RobotModel,
+    cfg: CostConfig,
+    X,
+    U,
+    goals,
+    dt: float,
+    f_ext_ee: Optional[jnp.ndarray] = None,
+    wrench_world: Optional[jnp.ndarray] = None,
+) -> QPBlocks:
+    """Delta-variable Gauss-Newton QP blocks (default formulation).
+
+    The QP is over steps ``(dX, dU)``; the dynamics affine term is the
+    integrator defect, and the initial condition is ``xs - x_0``.
+    """
+    A, B, c = linearize_dynamics(
+        model, X, U, dt, f_ext_ee=f_ext_ee, wrench_world=wrench_world
+    )
+    # Defect d_k = f(x_k, u_k) - x_{k+1}, recovered from the residual c
+    # without re-evaluating the dynamics.
+    fx = c + jnp.einsum("kij,kj->ki", A, X[:-1]) + jnp.einsum(
+        "kij,kj->ki", B, U
+    )
+    d = fx - X[1:]
+    Q, q, R, r = cost_blocks_gn(model, cfg, X, U, goals)
+    return QPBlocks(A=A, B=B, c=d, Q=Q, q=q, R=R, r=r)
 
 
 # ---------------------------------------------------------------------------

@@ -95,13 +95,21 @@ def solve(
             model, cost_cfg, mu, Xc, Uc, goals, x0_prev, dt, wrench_world
         )
 
+    gn = cost_cfg.formulation == "gn"
     for it in range(sqp_cfg.max_iters):
-        blocks = kkt.build_qp(
-            model, cost_cfg, X, U, goals, dt, wrench_world=wrench_world
-        )
-        sol = riccati.solve(blocks, xs, rho)
-        dX = sol.X - X
-        dU = sol.U - U
+        if gn:
+            blocks = kkt.build_qp_gn(
+                model, cost_cfg, X, U, goals, dt, wrench_world=wrench_world
+            )
+            sol = riccati.solve(blocks, xs - X[0], rho)
+            dX, dU = sol.X, sol.U
+        else:
+            blocks = kkt.build_qp(
+                model, cost_cfg, X, U, goals, dt, wrench_world=wrench_world
+            )
+            sol = riccati.solve(blocks, xs, rho)
+            dX = sol.X - X
+            dU = sol.U - U
 
         base = merit_of(X, U, X[0])
 

@@ -1,0 +1,129 @@
+"""Closed-loop MPC integration tests (SURVEY.md section 4 — the test level
+the reference only had as notebooks / recorded runs).
+
+Small horizons and step counts keep CPU compile+run times reasonable while
+still exercising the full jitted closed loop.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indy7_mpc_tpu.config import CostConfig, MPCConfig, SampleConfig, SQPConfig
+from indy7_mpc_tpu.dynamics import ee_pos
+from indy7_mpc_tpu.mpc import (
+    reference,
+    run_mpc,
+    run_sampled_mpc,
+    run_tracking_mpc,
+)
+
+COST = CostConfig()
+SQP = SQPConfig(max_iters=2)
+
+
+def test_point_to_goal_progress(model64):
+    m = model64
+    mpc_cfg = MPCConfig(N=16, dt=0.01)
+    sqp_cfg = SQPConfig(max_iters=3)
+    x0 = jnp.zeros(12, jnp.float64)
+    start_ee = ee_pos(m, x0[:6])
+    goal = start_ee + jnp.asarray([0.1, -0.1, 0.08])
+    final, trace = jax.jit(
+        lambda x0: run_mpc(m, COST, sqp_cfg, mpc_cfg, x0, goal[None, :], 60)
+    )(x0)
+    d = np.asarray(trace.goal_dist)
+    # Monotone-ish approach to the goal (reference converges at a similar
+    # pace; its recorded tracking errors are 0.12-0.19 m, BASELINE.md).
+    assert d[-1] < d[0] * 0.8, (d[0], d[-1])
+    assert d.min() < 0.14
+    assert bool(final.alive)
+    # States stay finite and bounded.
+    assert np.all(np.isfinite(np.asarray(trace.x)))
+    assert np.max(np.abs(np.asarray(trace.x)[:, 6:])) < 10.0
+
+
+def test_tracking_holds_station(model64):
+    """Constant reference at the start EE pose: the arm should hold."""
+    m = model64
+    mpc_cfg = MPCConfig(N=8, dt=0.01)
+    x0 = jnp.zeros(12, jnp.float64)
+    ee0 = ee_pos(m, x0[:6])
+    ref = jnp.tile(ee0, (200, 1))
+    _, trace = jax.jit(
+        lambda x0: run_tracking_mpc(m, COST, SQP, mpc_cfg, x0, ref, 80)
+    )(x0)
+    err = np.asarray(trace.tracking_error)
+    assert err.max() < 0.05, err.max()
+
+
+def test_tracking_fig8(model64):
+    """Small-amplitude fig-8: bounded tracking error, finite states."""
+    m = model64
+    mpc_cfg = MPCConfig(N=8, dt=0.01)
+    x0 = jnp.zeros(12, jnp.float64)
+    ee0 = np.asarray(ee_pos(m, x0[:6]))
+    ref = reference.figure_8(
+        0.1, 0.1, [ee0[0], ee0[1], ee0[2] - 0.05], 0.01, 4.0, 2,
+        angle_offset=0.0,
+    )
+    _, trace = jax.jit(
+        lambda x0: run_tracking_mpc(m, COST, SQP, mpc_cfg, x0, ref, 100)
+    )(x0)
+    err = np.asarray(trace.tracking_error)
+    assert np.all(np.isfinite(err))
+    assert err.mean() < 0.15, err.mean()
+
+
+def test_sampled_mpc_runs_and_estimates(model64):
+    m = model64
+    mpc_cfg = MPCConfig(N=8, dt=0.01)
+    sample_cfg = SampleConfig(
+        batch_size=8, f_ext_std=10.0, f_ext_resample_std=1.0
+    )
+    x0 = jnp.zeros(12, jnp.float64)
+    ee0 = np.asarray(ee_pos(m, x0[:6]))
+    ref = np.tile(ee0, (300, 1))
+    f_true = jnp.asarray([5.0, 0.0, 15.0, 0.0, 0.0, 0.0], jnp.float64)
+    key = jax.random.PRNGKey(42)
+    final, trace = jax.jit(
+        lambda x0, key: run_sampled_mpc(
+            m, COST, SQP, mpc_cfg, sample_cfg, x0, ref, 60, f_true, key,
+            f_true_walk=False,
+        )
+    )(x0, key)
+    assert np.all(np.isfinite(np.asarray(trace.tracking_error)))
+    # Consensus should not be stuck on the zero-wrench lane forever.
+    assert np.asarray(trace.best_idx).max() > 0
+    # Wrench torque rows stay zero; lane 0 stays pinned to zero.
+    fb = np.asarray(final.f_batch)
+    np.testing.assert_allclose(fb[:, 3:], 0.0, atol=1e-12)
+    np.testing.assert_allclose(fb[0], 0.0, atol=1e-12)
+    # The estimator should recover the *observable* force component: near
+    # the vertical start configuration a world-z force through the origin
+    # produces almost no joint torque (unobservable), but the x-component
+    # is well observed and must converge to ~5 N.
+    est = np.asarray(trace.f_est)[-10:, :3].mean(axis=0)
+    assert abs(est[0] - 5.0) < 2.5, est
+    assert abs(est[1]) < 3.0, est
+    # And the sampled controller tracks tightly despite the disturbance.
+    assert np.asarray(trace.tracking_error)[-20:].mean() < 0.05
+
+
+def test_sampled_mpc_deterministic(model64):
+    m = model64
+    mpc_cfg = MPCConfig(N=8, dt=0.01)
+    sample_cfg = SampleConfig(batch_size=4, f_ext_std=5.0, f_ext_resample_std=0.5)
+    x0 = jnp.zeros(12, jnp.float64)
+    ee0 = np.asarray(ee_pos(m, x0[:6]))
+    ref = np.tile(ee0, (100, 1))
+    f_true = jnp.zeros(6, jnp.float64)
+    run = jax.jit(
+        lambda key: run_sampled_mpc(
+            m, COST, SQP, mpc_cfg, sample_cfg, x0, ref, 20, f_true, key,
+            f_true_walk=False,
+        )[1].q
+    )
+    q1 = run(jax.random.PRNGKey(7))
+    q2 = run(jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))

@@ -67,7 +67,9 @@ def _setup(model, N=12, dt=0.01):
 
 def test_sqp_matches_oracle(model64):
     m = model64
-    cost_cfg = CostConfig()
+    # Reference formulation: the oracle below re-states osqp_sqp.py's loop
+    # over the absolute-variable QP (osqp_solver.py semantics).
+    cost_cfg = CostConfig(formulation="reference")
     # rho_factor=1 disables Levenberg adaptation so the oracle (which never
     # adapts, like osqp_sqp.py) follows the identical iteration sequence.
     sqp_cfg = SQPConfig(max_iters=3, rho=1e-6, rho_factor=1.0)
