@@ -1,0 +1,90 @@
+"""Benchmark: batched SQP-MPC solves/s on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's recorded batch-64 closed-loop solve times
+(stats/64/041825_solve_times.npy, mean 8964 us at N=64 => 7140 solves/s
+implied throughput; BASELINE.md).  North star (BASELINE.json): >= 1000
+batched solves/s/chip at horizon 32.
+
+The benchmarked unit of work is one full control-tick solve: a complete
+SQP solve (2 iterations: linearize -> batched Riccati -> 8-alpha merit
+line search) for each of B=64 lanes with per-lane wrench hypotheses —
+the same work ``bindings.batch_sqp.SQPSolverfloat_64.solve`` performs.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_SOLVES_PER_SEC = 7140.0  # reference batch-64 implied throughput
+
+
+def main():
+    from indy7_mpc_tpu.config import CostConfig, SampleConfig, SQPConfig
+    from indy7_mpc_tpu.models import indy7
+    from indy7_mpc_tpu.mpc.sampled import init_wrench_batch
+    from indy7_mpc_tpu.solvers import sqp as sqp_mod
+
+    B, N, dt = 64, 32, 0.01
+    dtype = jnp.float32
+    model = indy7(dtype=dtype)
+    cost_cfg = CostConfig()
+    sqp_cfg = SQPConfig(max_iters=2)
+
+    key = jax.random.PRNGKey(42)
+    sample_cfg = SampleConfig(batch_size=B, f_ext_std=20.0)
+    wrench_b = init_wrench_batch(key, sample_cfg, dtype)
+
+    xs_b = jnp.zeros((B, 12), dtype)
+    goal = jnp.asarray([0.35, 0.35, 0.6], dtype)
+    goals_b = jnp.tile(goal, (B, N, 1))
+    X_b = jnp.zeros((B, N, 12), dtype)
+    U_b = jnp.zeros((B, N - 1, 6), dtype)
+
+    @jax.jit
+    def solve(xs_b, goals_b, X_b, U_b, wrench_b):
+        res = sqp_mod.batch_solve(
+            model, cost_cfg, sqp_cfg, dt, xs_b, goals_b, X_b, U_b,
+            wrench_world_batch=wrench_b,
+        )
+        return res.X, res.U
+
+    # Compile + warm up.
+    X_w, U_w = solve(xs_b, goals_b, X_b, U_b, wrench_b)
+    jax.block_until_ready((X_w, U_w))
+
+    # Timed: warm-started solves (the closed-loop steady state).
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        X_w, U_w = solve(xs_b, goals_b, X_w, U_w, wrench_b)
+    jax.block_until_ready((X_w, U_w))
+    t1 = time.perf_counter()
+
+    per_solve_s = (t1 - t0) / iters
+    solves_per_sec = B / per_solve_s
+
+    print(
+        f"# per-batch solve: {per_solve_s * 1e6:.0f} us  "
+        f"(B={B}, N={N}, {sqp_cfg.max_iters} SQP iters, "
+        f"{jax.devices()[0].device_kind})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "sqp_mpc_solves_per_sec_chip_b64_n32",
+                "value": round(solves_per_sec, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_sec / REF_SOLVES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

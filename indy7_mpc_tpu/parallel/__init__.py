@@ -1,0 +1,19 @@
+from .sharding import (
+    LANE_AXIS,
+    make_lane_mesh,
+    lane_sharding,
+    replicated,
+    shard_lanes,
+    make_sharded_batch_solve,
+    make_sharded_sampled_tick,
+)
+
+__all__ = [
+    "LANE_AXIS",
+    "make_lane_mesh",
+    "lane_sharding",
+    "replicated",
+    "shard_lanes",
+    "make_sharded_batch_solve",
+    "make_sharded_sampled_tick",
+]

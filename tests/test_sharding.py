@@ -1,0 +1,108 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Generalizes the reference's single-GPU batch consistency checks
+(gato_mpc_batch.py:124-134) to a sharded mesh: lane-sharded solves must
+agree with single-device solves bit-for-bit modulo float reassociation.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indy7_mpc_tpu.config import CostConfig, SampleConfig, SQPConfig
+from indy7_mpc_tpu.dynamics import ee_pos
+from indy7_mpc_tpu.mpc.sampled import init_wrench_batch, sampled_tick
+from indy7_mpc_tpu.parallel import (
+    make_lane_mesh,
+    make_sharded_batch_solve,
+    make_sharded_sampled_tick,
+    shard_lanes,
+)
+from indy7_mpc_tpu.solvers import sqp as sqp_mod
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def _problem(model, B, N=8, dt=0.01):
+    x0 = jnp.zeros(12, jnp.float64)
+    ee0 = ee_pos(model, x0[:6])
+    goals = jnp.tile(ee0 + jnp.asarray([0.05, -0.05, 0.04]), (N, 1))
+    X = jnp.zeros((N, 12), jnp.float64).at[0].set(x0)
+    U = jnp.zeros((N - 1, 6), jnp.float64)
+    key = jax.random.PRNGKey(0)
+    w = init_wrench_batch(key, SampleConfig(batch_size=B, f_ext_std=8.0),
+                          jnp.float64)
+    return (
+        jnp.tile(x0, (B, 1)),
+        jnp.tile(goals, (B, 1, 1)),
+        jnp.tile(X, (B, 1, 1)),
+        jnp.tile(U, (B, 1, 1)),
+        w,
+    )
+
+
+def test_sharded_batch_solve_matches_local(model64):
+    m = model64
+    cost_cfg, sqp_cfg = CostConfig(), SQPConfig(max_iters=2)
+    dt = 0.01
+    B = 16
+    xs, goals, X, U, w = _problem(m, B)
+
+    local = sqp_mod.batch_solve(
+        m, cost_cfg, sqp_cfg, dt, xs, goals, X, U, wrench_world_batch=w
+    )
+
+    mesh = make_lane_mesh()
+    solve = make_sharded_batch_solve(m, cost_cfg, sqp_cfg, dt, mesh)
+    args = shard_lanes(mesh, (xs, goals, X, U, w))
+    sharded = solve(*args)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.X), np.asarray(local.X), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.U), np.asarray(local.U), rtol=1e-8, atol=1e-10
+    )
+    # The result really is distributed across all 8 devices.
+    assert len(sharded.X.sharding.device_set) == 8
+
+
+def test_sharded_sampled_tick_matches_local(model64):
+    m = model64
+    cost_cfg = CostConfig()
+    sqp_cfg = SQPConfig(max_iters=2)
+    sample_cfg = SampleConfig(batch_size=8, f_ext_std=8.0,
+                              f_ext_resample_std=0.5)
+    dt = 0.01
+    x0 = jnp.zeros(12, jnp.float64)
+    ee0 = ee_pos(m, x0[:6])
+    goals = jnp.tile(ee0, (8, 1))
+    X = jnp.zeros((8, 12), jnp.float64).at[0].set(x0)
+    U = jnp.zeros((7, 6), jnp.float64)
+    key = jax.random.PRNGKey(3)
+    f_batch = init_wrench_batch(key, sample_cfg, jnp.float64)
+    u_last = jnp.zeros(6, jnp.float64)
+
+    local = sampled_tick(
+        m, cost_cfg, sqp_cfg, sample_cfg, dt, key, x0, x0, u_last, goals,
+        X, U, f_batch,
+    )
+
+    mesh = make_lane_mesh()
+    tick = make_sharded_sampled_tick(
+        m, cost_cfg, sqp_cfg, sample_cfg, dt, mesh
+    )
+    sharded = tick(
+        key, x0, x0, u_last, goals, X, U, shard_lanes(mesh, f_batch)
+    )
+
+    assert int(sharded.best_idx) == int(local.best_idx)
+    np.testing.assert_allclose(
+        np.asarray(sharded.u), np.asarray(local.u), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.f_batch), np.asarray(local.f_batch),
+        rtol=1e-8, atol=1e-10,
+    )
