@@ -10,6 +10,9 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon harness routes compiles through a remote tunnel; for CPU-only
+# tests that turns multi-second compiles into multi-minute ones.
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 
 import jax
 
