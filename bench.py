@@ -12,6 +12,9 @@ The benchmarked unit of work is one full control-tick solve: a complete
 SQP solve (2 iterations: linearize -> batched Riccati -> 8-alpha merit
 line search) for each of B=64 lanes with per-lane wrench hypotheses —
 the same work ``bindings.batch_sqp.SQPSolverfloat_64.solve`` performs.
+The production path is the fused Pallas kernel
+(indy7_mpc_tpu/ops/pallas/sqp_kernel.py): the whole solve in one TPU
+kernel per lane tile.
 """
 import json
 import sys
@@ -27,7 +30,7 @@ def main():
     from indy7_mpc_tpu.config import CostConfig, SampleConfig, SQPConfig
     from indy7_mpc_tpu.models import indy7
     from indy7_mpc_tpu.mpc.sampled import init_wrench_batch
-    from indy7_mpc_tpu.solvers import sqp as sqp_mod
+    from indy7_mpc_tpu.solvers import sqp_pallas as sqp_mod
 
     B, N, dt = 64, 32, 0.01
     dtype = jnp.float32

@@ -97,6 +97,27 @@ _INV_PI = 0.3183098861837907
 _MAGIC_F32 = 12582912.0
 
 
+def fast_sqrt(x):
+    """sqrt via rsqrt bit-trick + two Newton steps (FMA-class only).
+
+    |rel err| < ~5e-7 after two iterations; exact sqrt is a multi-pass
+    VPU op (~100x an FMA).  f64 falls back to jnp.sqrt (test/oracle path).
+    """
+    if x.dtype == jnp.float64:
+        return jnp.sqrt(x)
+    i = jax.lax.bitcast_convert_type(jax.lax.stop_gradient(x), jnp.int32)
+    i = jnp.int32(0x5F3759DF) - jax.lax.shift_right_logical(i, 1)
+    r = jax.lax.bitcast_convert_type(i, jnp.float32)
+    # Newton for rsqrt: r <- r (1.5 - 0.5 x r^2)
+    xh = 0.5 * x
+    r = r * (1.5 - xh * r * r)
+    r = r * (1.5 - xh * r * r)
+    r = r * (1.5 - xh * r * r)
+    # sqrt = x * rsqrt(x); guard x == 0.
+    s = x * r
+    return jnp.where(x > 0.0, s, jnp.zeros_like(x))
+
+
 def sincos(x):
     """Fast (sin x, cos x): half-period range reduction + Taylor in r^2.
 
@@ -108,7 +129,10 @@ def sincos(x):
     if x.dtype == jnp.float64:
         # Tests run in f64 where exactness vs the oracle layer matters.
         return jnp.sin(x), jnp.cos(x)
-    k = (x * _INV_PI + _MAGIC_F32) - _MAGIC_F32
+    # stop_gradient: round() has zero derivative a.e., but the magic-number
+    # form looks linear to autodiff — without the stop, JVP tangents of r
+    # (and hence all FK derivatives) collapse to zero.
+    k = jax.lax.stop_gradient((x * _INV_PI + _MAGIC_F32) - _MAGIC_F32)
     r = x - k * _PI
     parity = k - 2.0 * ((0.5 * k + _MAGIC_F32) - _MAGIC_F32)  # k mod 2
     sign = 1.0 - 2.0 * parity * parity

@@ -1,0 +1,70 @@
+"""Standard-API wrapper around the fused Pallas SQP kernel.
+
+Drop-in for :func:`solvers.sqp.batch_solve` (GN formulation) with the same
+array contracts; use this on TPU.  The slow path (solvers/sqp.py) remains
+the readable oracle and the CPU/test path.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..config import CostConfig, SQPConfig
+from ..models.robot import RobotModel
+from ..ops.pallas import sqp_kernel
+from .sqp import SolverState, SQPResult, SQPStats
+
+
+def batch_solve(
+    model: RobotModel,
+    cost_cfg: CostConfig,
+    sqp_cfg: SQPConfig,
+    dt: float,
+    xs_b,
+    goals_b,
+    X_b,
+    U_b,
+    state: Optional[SolverState] = None,
+    wrench_world_batch=None,
+    tile: Optional[int] = None,
+) -> SQPResult:
+    """Lane-batched SQP solve on the fused TPU kernel.
+
+    xs_b: (B, 12), goals_b: (B, N, 3), X_b: (B, N, 12), U_b: (B, N-1, 6),
+    wrench_world_batch: (B, 6) or None.  B must be a multiple of ``tile``
+    (default: min(B, 128)).
+    """
+    if cost_cfg.formulation != "gn":
+        raise ValueError("pallas solver implements the 'gn' formulation only")
+    B = xs_b.shape[0]
+    tile = tile or min(B, 128)
+    rho_b = None
+    if state is not None:
+        rho_b = state.rho.astype(jnp.float32)
+
+    X, U, rho, alphas, steps = sqp_kernel.sqp_solve_pallas(
+        model, cost_cfg, sqp_cfg, dt,
+        jnp.asarray(xs_b, jnp.float32).T,
+        jnp.transpose(jnp.asarray(goals_b, jnp.float32), (1, 2, 0)),
+        jnp.transpose(jnp.asarray(X_b, jnp.float32), (1, 2, 0)),
+        jnp.transpose(jnp.asarray(U_b, jnp.float32), (1, 2, 0)),
+        wrench_b=(
+            None if wrench_world_batch is None
+            else jnp.asarray(wrench_world_batch, jnp.float32).T
+        ),
+        rho_b=rho_b,
+        tile=tile,
+    )
+    return SQPResult(
+        X=jnp.transpose(X, (2, 0, 1)),
+        U=jnp.transpose(U, (2, 0, 1)),
+        state=SolverState(rho=rho),
+        stats=SQPStats(
+            # Accepted-step count (rejected-then-done iterations are not
+            # distinguishable from early exit in the fused kernel's logs).
+            iterations=jnp.sum((alphas > 0).astype(jnp.int32), axis=0),
+            step_sizes=steps.T,
+            alphas=alphas.T,
+        ),
+    )
