@@ -106,7 +106,9 @@ def fast_sqrt(x):
     if x.dtype == jnp.float64:
         return jnp.sqrt(x)
     i = jax.lax.bitcast_convert_type(jax.lax.stop_gradient(x), jnp.int32)
-    i = jnp.int32(0x5F3759DF) - jax.lax.shift_right_logical(i, 1)
+    i = jnp.int32(0x5F3759DF) - jax.lax.shift_right_logical(
+        i, jnp.ones_like(i)
+    )
     r = jax.lax.bitcast_convert_type(i, jnp.float32)
     # Newton for rsqrt: r <- r (1.5 - 0.5 x r^2)
     xh = 0.5 * x

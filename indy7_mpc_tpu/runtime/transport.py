@@ -1,0 +1,124 @@
+"""Controller <-> plant transports (the DDS replacement).
+
+The reference wires its controller and MuJoCo simulator over three ROS 2
+DDS topics with queue depth 1 — latest-wins, lossy
+(gato_controller.py:163-167, sim_node.cpp:225-237).  Here the same
+contract is a small Transport interface with two implementations:
+
+  * :class:`UdpTransport` — datagram pub/sub on localhost, pairing with
+    the native C++ plant process (native/plant); latest-wins by design.
+    Wire format: little-endian float64 arrays with a 1-byte tag,
+    mirroring the three topics (state up; command / wrench down).
+  * :class:`InProcessPlant` — the device-resident JAX plant behind the
+    same interface, for tests and single-process deployments.
+
+The reference's EE-position side channel (smuggled through
+JointState.effort[0:3], sim_node.cpp:343-345) becomes an explicit field.
+"""
+from __future__ import annotations
+
+import socket
+import struct
+import time
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+TAG_STATE = 1      # plant -> controller: q (6), v (6), ee_pos (3)
+TAG_COMMAND = 2    # controller -> plant: torque (6)
+TAG_WRENCH = 3     # controller -> plant: world wrench force (3)
+
+
+class PlantState(NamedTuple):
+    x: np.ndarray        # (12,) [q, v]
+    ee_pos: np.ndarray   # (3,) world EE position from the plant
+    stamp: float
+
+
+class UdpTransport:
+    """Latest-wins datagram link to an external plant process."""
+
+    def __init__(
+        self,
+        plant_addr=("127.0.0.1", 7461),
+        listen_addr=("127.0.0.1", 7460),
+        recv_timeout: float = 0.1,
+    ):
+        self.plant_addr = plant_addr
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind(listen_addr)
+        self.sock.settimeout(recv_timeout)
+
+    def recv_state(self) -> Optional[PlantState]:
+        data = None
+        # Drain the queue: keep only the newest datagram (depth-1 topic).
+        while True:
+            try:
+                pkt, _ = self.sock.recvfrom(512)
+                data = pkt
+                self.sock.settimeout(0.0)
+            except (socket.timeout, BlockingIOError):
+                break
+        self.sock.settimeout(0.1)
+        if data is None or len(data) < 1 + 15 * 8 or data[0] != TAG_STATE:
+            return None
+        vals = np.frombuffer(data[1:1 + 15 * 8], dtype="<f8")
+        return PlantState(
+            x=vals[:12].copy(), ee_pos=vals[12:15].copy(), stamp=time.time()
+        )
+
+    def send_command(self, u) -> None:
+        u = np.asarray(u, "<f8")
+        self.sock.sendto(
+            bytes([TAG_COMMAND]) + u.tobytes(), self.plant_addr
+        )
+
+    def send_wrench(self, force3) -> None:
+        f = np.asarray(force3, "<f8")
+        self.sock.sendto(bytes([TAG_WRENCH]) + f.tobytes(), self.plant_addr)
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+class InProcessPlant:
+    """Device-resident plant behind the Transport interface."""
+
+    def __init__(self, model, x0, dt: float, substeps: int = 1):
+        import jax
+        import jax.numpy as jnp
+
+        from ..dynamics.kinematics import ee_pos
+        from ..sim.plant import plant_step
+
+        self.model = model
+        self.dt = dt
+        self.x = jnp.asarray(x0, jnp.float32)
+        self.wrench = jnp.zeros(6, jnp.float32)
+        self._step = jax.jit(
+            lambda x, u, w: plant_step(
+                model, x, u, dt, wrench_world=w, substeps=substeps
+            )
+        )
+        self._ee = jax.jit(lambda x: ee_pos(model, x[: model.nq]))
+        self._pending_u = None
+
+    def recv_state(self) -> PlantState:
+        return PlantState(
+            x=np.asarray(self.x, float),
+            ee_pos=np.asarray(self._ee(self.x), float),
+            stamp=time.time(),
+        )
+
+    def send_command(self, u) -> None:
+        import jax.numpy as jnp
+
+        self.x = self._step(self.x, jnp.asarray(u, jnp.float32), self.wrench)
+
+    def send_wrench(self, force3) -> None:
+        import jax.numpy as jnp
+
+        self.wrench = self.wrench.at[:3].set(jnp.asarray(force3, jnp.float32))
+
+    def close(self) -> None:
+        pass

@@ -1,0 +1,117 @@
+// Standalone native plant process (the sim_node.cpp equivalent).
+//
+// Fixed-rate RK4 physics of the Indy7 under torque commands and an
+// external world wrench, publishing state over latest-wins UDP — the
+// framework's replacement for the reference's MuJoCo + ROS 2 node
+// (/root/reference/src/sim/sim/sim_node.cpp):
+//   * fixed initial pose {1.5799, 0.0631, -1.1807, 1.0927, -0.6255,
+//     -0.0190} (sim_node.cpp:196);
+//   * physics holds until the first command arrives (sim_node.cpp:293-299:
+//     mj_forward until command_received);
+//   * per-tick state message carries q, v, and the world EE position (the
+//     reference smuggles the latter through effort[0:3],
+//     sim_node.cpp:343-345 — here it is an explicit field);
+//   * external force applied at the EE with world-origin moment semantics
+//     (mj_applyFT analog, sim_node.cpp:309-325).
+//
+// Usage: plant_node [timestep=0.001] [publish_every=10]
+//   (timestep 1 ms with publish every 10 steps = 100 Hz state topic).
+// Wire format: see indy7_mpc_tpu/runtime/transport.py.
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+
+#include "rbd.hpp"
+
+namespace {
+
+constexpr unsigned char kTagState = 1;
+constexpr unsigned char kTagCommand = 2;
+constexpr unsigned char kTagWrench = 3;
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  double dt = argc > 1 ? std::atof(argv[1]) : 0.001;
+  int publish_every = argc > 2 ? std::atoi(argv[2]) : 10;
+
+  const indy7::Model model = indy7::indy7_model();
+  indy7::State x{};
+  const double init_q[6] = {1.5799, 0.0631, -1.1807, 1.0927, -0.6255, -0.0190};
+  for (int i = 0; i < 6; ++i) x[i] = init_q[i];
+
+  indy7::VecJ u{};
+  indy7::Vec6 wrench{};
+  bool command_received = false;
+  bool have_wrench = false;
+
+  int sock = socket(AF_INET, SOCK_DGRAM, 0);
+  sockaddr_in listen_addr{};
+  listen_addr.sin_family = AF_INET;
+  listen_addr.sin_addr.s_addr = inet_addr("127.0.0.1");
+  listen_addr.sin_port = htons(7461);
+  if (bind(sock, (sockaddr*)&listen_addr, sizeof(listen_addr)) != 0) {
+    std::perror("bind");
+    return 1;
+  }
+  sockaddr_in ctrl_addr{};
+  ctrl_addr.sin_family = AF_INET;
+  ctrl_addr.sin_addr.s_addr = inet_addr("127.0.0.1");
+  ctrl_addr.sin_port = htons(7460);
+
+  std::printf("plant_node: dt=%g publish_every=%d (state at %g Hz)\n", dt,
+              publish_every, 1.0 / (dt * publish_every));
+
+  using clock = std::chrono::steady_clock;
+  auto next = clock::now();
+  long step = 0;
+  unsigned char buf[512];
+
+  while (true) {
+    // Drain incoming datagrams (latest-wins).
+    while (true) {
+      ssize_t n = recvfrom(sock, buf, sizeof(buf), MSG_DONTWAIT, nullptr,
+                           nullptr);
+      if (n <= 0) break;
+      if (buf[0] == kTagCommand && n >= 1 + 6 * 8) {
+        std::memcpy(u.data(), buf + 1, 6 * 8);
+        command_received = true;
+      } else if (buf[0] == kTagWrench && n >= 1 + 3 * 8) {
+        std::memcpy(wrench.data(), buf + 1, 3 * 8);
+        wrench[3] = wrench[4] = wrench[5] = 0.0;
+        have_wrench = true;
+      }
+    }
+
+    // Physics step (held at the initial pose until the first command).
+    if (command_received) {
+      x = indy7::rk4_step(model, x, u, dt, have_wrench ? &wrench : nullptr);
+    }
+
+    if (step % publish_every == 0) {
+      indy7::VecJ q;
+      for (int i = 0; i < 6; ++i) q[i] = x[i];
+      const indy7::Vec3 ee = indy7::ee_position(model, q);
+      unsigned char out[1 + 15 * 8];
+      out[0] = kTagState;
+      std::memcpy(out + 1, x.data(), 12 * 8);
+      std::memcpy(out + 1 + 12 * 8, ee.data(), 3 * 8);
+      sendto(sock, out, sizeof(out), 0, (sockaddr*)&ctrl_addr,
+             sizeof(ctrl_addr));
+    }
+    ++step;
+
+    next += std::chrono::duration_cast<clock::duration>(
+        std::chrono::duration<double>(dt));
+    std::this_thread::sleep_until(next);
+  }
+  close(sock);
+  return 0;
+}

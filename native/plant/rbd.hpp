@@ -1,0 +1,70 @@
+// Rigid-body dynamics for a 6-DOF serial revolute chain (fixed base).
+//
+// Native ground-truth plant physics for the framework's external-plant
+// mode — the first-class equivalent of the reference's MuJoCo C++ sim
+// node (/root/reference/src/sim/sim/sim_node.cpp).  Same algorithms as
+// the JAX layer (indy7_mpc_tpu/dynamics, ops/lane_rbd.py): local-frame
+// RNEA, CRBA, LDL^T solve, RK4 with the reference's averaged-velocity
+// position update (src/utils.py:3-18), and the world-wrench-about-origin
+// EE force semantics (src/gato_mpc_batch_sample.py:151-161).
+//
+// Conventions: linear-first spatial vectors (v, w) / (f, n); placements
+// X = (R, p) map local to parent coordinates.
+#pragma once
+
+#include <array>
+#include <cmath>
+
+namespace indy7 {
+
+constexpr int NJ = 6;
+
+using Vec3 = std::array<double, 3>;
+using Mat3 = std::array<std::array<double, 3>, 3>;
+using VecJ = std::array<double, NJ>;
+using MatJ = std::array<std::array<double, NJ>, NJ>;
+using Vec6 = std::array<double, 6>;
+using State = std::array<double, 2 * NJ>;
+
+struct Model {
+  Mat3 tree_R[NJ];   // parent->joint placement rotation at q = 0
+  Vec3 tree_p[NJ];   // parent->joint placement translation
+  Vec3 axis[NJ];     // joint axis in the joint frame
+  double mass[NJ];
+  Vec3 com[NJ];      // link COM in the joint frame
+  Mat3 I_com[NJ];    // rotational inertia about the COM
+  Vec3 gravity;      // world-frame linear gravity
+  Vec3 tcp_offset;   // fixed tool offset from the last joint frame
+};
+
+// World placements of every joint frame (R includes the joint rotation).
+void forward_kinematics(const Model& m, const VecJ& q, Mat3 R_w[NJ],
+                        Vec3 p_w[NJ]);
+
+// Position of the last joint frame origin (the reference's eepos,
+// osqp_solver.py:146-148).
+Vec3 ee_position(const Model& m, const VecJ& q);
+
+// Map a world wrench (force f, moment n about the WORLD ORIGIN) to the
+// last joint's local spatial force — oMi[6].actInv semantics.
+Vec6 world_wrench_to_ee(const Model& m, const VecJ& q, const Vec6& w_world);
+
+// Inverse dynamics: tau for acceleration a under optional local EE force.
+VecJ rnea(const Model& m, const VecJ& q, const VecJ& v, const VecJ& a,
+          const Vec6* f_ext_ee, bool gravity);
+
+// Joint-space mass matrix (composite rigid body algorithm).
+MatJ crba(const Model& m, const VecJ& q);
+
+// Forward dynamics a = M^-1 (tau - bias) via LDL^T.
+VecJ forward_dynamics(const Model& m, const VecJ& q, const VecJ& v,
+                      const VecJ& tau, const Vec6* f_ext_ee);
+
+// RK4 step matching src/utils.py:3-18 (wrench mapped at the start state).
+State rk4_step(const Model& m, const State& x, const VecJ& u, double dt,
+               const Vec6* wrench_world);
+
+// The Indy7 model (embedded parameters, description/indy7.urdf).
+Model indy7_model();
+
+}  // namespace indy7
