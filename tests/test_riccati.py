@@ -33,52 +33,10 @@ def random_blocks(rng, N, nx, nu, rho, dtype=np.float64):
 
 
 def dense_solve(blocks, xs, rho):
-    """Dense KKT oracle in numpy (float64)."""
-    A = np.asarray(blocks.A, np.float64)
-    B = np.asarray(blocks.B, np.float64)
-    c = np.asarray(blocks.c, np.float64)
-    Q = np.asarray(blocks.Q, np.float64)
-    q = np.asarray(blocks.q, np.float64)
-    R = np.asarray(blocks.R, np.float64)
-    r = np.asarray(blocks.r, np.float64)
-    N, nx = Q.shape[0], Q.shape[2]
-    nu = B.shape[2]
-    nz = N * nx + (N - 1) * nu
+    """Dense KKT oracle (the package's numpy reference solver)."""
+    from indy7_mpc_tpu.ops import dense_kkt
 
-    def xi(k):
-        return slice(k * (nx + nu), k * (nx + nu) + nx)
-
-    def ui(k):
-        return slice(k * (nx + nu) + nx, (k + 1) * (nx + nu))
-
-    P = np.zeros((nz, nz))
-    g = np.zeros(nz)
-    for k in range(N):
-        P[xi(k), xi(k)] = Q[k]
-        g[xi(k)] = q[k]
-    for k in range(N - 1):
-        P[ui(k), ui(k)] = R[k] + rho * np.eye(nu)
-        g[ui(k)] = r[k]
-
-    nc = N * nx
-    G = np.zeros((nc, nz))
-    h = np.zeros(nc)
-    G[:nx, xi(0)] = np.eye(nx)
-    h[:nx] = xs
-    for k in range(N - 1):
-        rows = slice((k + 1) * nx, (k + 2) * nx)
-        G[rows, xi(k)] = A[k]
-        G[rows, ui(k)] = B[k]
-        G[rows, xi(k + 1)] = -np.eye(nx)
-        h[rows] = -c[k]
-
-    KKT = np.block([[P, G.T], [G, np.zeros((nc, nc))]])
-    rhs = np.concatenate([-g, h])
-    sol = np.linalg.solve(KKT, rhs)
-    z = sol[:nz]
-    X = np.stack([z[xi(k)] for k in range(N)])
-    U = np.stack([z[ui(k)] for k in range(N - 1)])
-    return X, U
+    return dense_kkt.solve(blocks, xs, rho)
 
 
 @pytest.mark.parametrize("N,nx,nu", [(8, 12, 6), (32, 12, 6), (5, 4, 2)])
