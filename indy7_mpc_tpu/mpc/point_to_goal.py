@@ -56,6 +56,7 @@ def run_mpc(
     endpoints,
     num_steps: int,
     wrench_world: Optional[jnp.ndarray] = None,
+    solve_fn=None,
 ):
     """Closed-loop point-to-goal MPC.
 
@@ -64,12 +65,18 @@ def run_mpc(
       endpoints: (G, 3) chain of EE goals, cycled on arrival.
       num_steps: control ticks (static).
       wrench_world: optional true disturbance wrench on the plant.
+      solve_fn: optional ``(xs, goals, X, U, state) -> SQPResult``
+        single-lane solver override (e.g. the fused Pallas kernel on TPU).
 
     Returns (final_carry, MPCTrace).
     """
     N, dt = mpc_cfg.N, mpc_cfg.dt
     nq, nx, nu = model.nq, model.nx, model.nu
     endpoints = jnp.asarray(endpoints)
+    if solve_fn is None:
+        solve_fn = lambda xs, goals, X, U, state: sqp_mod.solve(
+            model, cost_cfg, sqp_cfg, dt, xs, goals, X, U, state
+        )
 
     def tick(carry: MPCCarry, _):
         goal = endpoints[carry.goal_idx]
@@ -87,10 +94,7 @@ def run_mpc(
 
         alive = jnp.logical_and(carry.alive, dist <= mpc_cfg.divergence_dist)
 
-        res = sqp_mod.solve(
-            model, cost_cfg, sqp_cfg, dt, carry.x, goals,
-            carry.X, carry.U, carry.state, wrench_world=None,
-        )
+        res = solve_fn(carry.x, goals, carry.X, carry.U, carry.state)
         u = res.U[0]
         x_next = plant_step(
             model, carry.x, u, dt,
@@ -131,10 +135,7 @@ def run_mpc(
     )
     # Warm-up solve from zeros (osqp_mpc.py:26-27).
     goals0 = jnp.tile(endpoints[0], (N, 1))
-    warm = sqp_mod.solve(
-        model, cost_cfg, sqp_cfg, dt, x0, goals0, carry0.X, carry0.U,
-        carry0.state,
-    )
+    warm = solve_fn(x0, goals0, carry0.X, carry0.U, carry0.state)
     carry0 = carry0._replace(X=warm.X, U=warm.U, state=warm.state)
 
     final, (xs, us, dists, gidx, iters) = jax.lax.scan(

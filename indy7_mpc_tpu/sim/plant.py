@@ -30,14 +30,19 @@ def plant_step(
     dt: float,
     wrench_world: Optional[jnp.ndarray] = None,
     substeps: int = 1,
+    clamp_torque: bool = True,
 ):
     """Advance the plant by ``dt`` under constant torque ``u``.
 
     RK4 with ``substeps`` sub-intervals; the external wrench is re-mapped
     to the EE joint frame at the start of each substep (the reference maps
     once per control interval; substeps=1 reproduces that exactly).
+    Torques are clamped to the actuator effort limits, matching the MuJoCo
+    plant's ``ctrlrange`` (description/indy7.xml:52-59).
     Broadcasts over leading batch dims.
     """
+    if clamp_torque:
+        u = jnp.clip(u, -model.effort_limit, model.effort_limit)
     h = dt / substeps
 
     def sub(x, _):

@@ -16,6 +16,34 @@ from ..ops.pallas import sqp_kernel
 from .sqp import SolverState, SQPResult, SQPStats
 
 
+def single_solve_fn(
+    model: RobotModel,
+    cost_cfg: CostConfig,
+    sqp_cfg: SQPConfig,
+    dt: float,
+):
+    """Single-lane ``solve_fn`` (for run_mpc / run_tracking_mpc) on the
+    fused kernel: the lane rides a padded tile."""
+    import jax
+
+    def fn(xs, goals, X, U, state=None):
+        st = None
+        if state is not None:
+            st = SolverState(rho=jnp.reshape(state.rho, (1,)))
+        res = batch_solve(
+            model, cost_cfg, sqp_cfg, dt,
+            xs[None], goals[None], X[None], U[None], state=st,
+        )
+        return SQPResult(
+            X=res.X[0],
+            U=res.U[0],
+            state=SolverState(rho=res.state.rho[0]),
+            stats=jax.tree.map(lambda a: a[0], res.stats),
+        )
+
+    return fn
+
+
 def batch_solve(
     model: RobotModel,
     cost_cfg: CostConfig,
@@ -38,7 +66,25 @@ def batch_solve(
     if cost_cfg.formulation != "gn":
         raise ValueError("pallas solver implements the 'gn' formulation only")
     B = xs_b.shape[0]
-    tile = tile or min(B, 128)
+    # Pad the lane axis to a multiple of 8 (sublane tiling); a B=1 solve
+    # just rides a mostly-idle tile.
+    pad = (-B) % 8
+    if pad:
+        def _pad(a):
+            return jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0
+            )
+
+        xs_b = _pad(xs_b)
+        goals_b = _pad(goals_b)
+        X_b = _pad(X_b)
+        U_b = _pad(U_b)
+        if wrench_world_batch is not None:
+            wrench_world_batch = _pad(wrench_world_batch)
+        if state is not None:
+            state = SolverState(rho=_pad(state.rho))
+    Bp = B + pad
+    tile = tile or min(Bp, 128)
     rho_b = None
     if state is not None:
         rho_b = state.rho.astype(jnp.float32)
@@ -57,14 +103,14 @@ def batch_solve(
         tile=tile,
     )
     return SQPResult(
-        X=jnp.transpose(X, (2, 0, 1)),
-        U=jnp.transpose(U, (2, 0, 1)),
-        state=SolverState(rho=rho),
+        X=jnp.transpose(X, (2, 0, 1))[:B],
+        U=jnp.transpose(U, (2, 0, 1))[:B],
+        state=SolverState(rho=rho[:B]),
         stats=SQPStats(
             # Accepted-step count (rejected-then-done iterations are not
             # distinguishable from early exit in the fused kernel's logs).
-            iterations=jnp.sum((alphas > 0).astype(jnp.int32), axis=0),
-            step_sizes=steps.T,
-            alphas=alphas.T,
+            iterations=jnp.sum((alphas > 0).astype(jnp.int32), axis=0)[:B],
+            step_sizes=steps.T[:B],
+            alphas=alphas.T[:B],
         ),
     )

@@ -82,6 +82,13 @@ int main(int argc, char** argv) {
       if (n <= 0) break;
       if (buf[0] == kTagCommand && n >= 1 + 6 * 8) {
         std::memcpy(u.data(), buf + 1, 6 * 8);
+        // Actuator effort limits (MuJoCo ctrlrange, indy7.xml:52-59).
+        static const double kEffort[6] = {431.97, 431.97, 197.23,
+                                          79.79,  79.79,  79.79};
+        for (int i = 0; i < 6; ++i) {
+          if (u[i] > kEffort[i]) u[i] = kEffort[i];
+          if (u[i] < -kEffort[i]) u[i] = -kEffort[i];
+        }
         command_received = true;
       } else if (buf[0] == kTagWrench && n >= 1 + 3 * 8) {
         std::memcpy(wrench.data(), buf + 1, 3 * 8);

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Recorded-run analysis CLI (the stat_analysis.ipynb replacement).
+
+Loads one or more stats directories in the reference .npy schema
+({stem}_{dts,tracking_errors,ee_positions,ee_ref_positions,
+joint_positions,solve_times}.npy — gato_controller.py:288-293) and prints
+the comparison table of BASELINE.md (mean/p50/p95 tracking error, solve
+times, control period); optionally writes overlay plots.
+
+Works on both the reference's recorded runs (/root/reference/stats/*) and
+this framework's stats_tpu/ output — apples to apples.
+
+Usage:
+  python tools/analyze_stats.py DIR [DIR ...] [--plot out.png]
+"""
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+
+def find_runs(d):
+    runs = {}
+    for f in glob.glob(os.path.join(d, "*_tracking_errors.npy")):
+        stem = f[: -len("_tracking_errors.npy")]
+        runs[stem] = True
+    return sorted(runs)
+
+
+def load(stem):
+    out = {}
+    for name in (
+        "dts", "tracking_errors", "ee_positions", "ee_ref_positions",
+        "joint_positions", "solve_times",
+    ):
+        path = f"{stem}_{name}.npy"
+        out[name] = np.load(path) if os.path.exists(path) else None
+    return out
+
+
+def describe(stem, data):
+    te = data["tracking_errors"]
+    st = data["solve_times"]
+    dts = data["dts"]
+    row = {
+        "run": stem,
+        "ticks": len(te) if te is not None else 0,
+    }
+    if te is not None and len(te):
+        row.update(
+            te_mean=te.mean(),
+            te_p50=np.percentile(te, 50),
+            te_p95=np.percentile(te, 95),
+        )
+    if st is not None and len(st):
+        row.update(
+            solve_us_mean=st.mean(),
+            solve_us_p50=np.percentile(st, 50),
+            solve_us_p95=np.percentile(st, 95),
+            solve_us_max=st.max(),
+        )
+    if dts is not None and len(dts):
+        row["dt_ms_mean"] = 1e3 * dts.mean()
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dirs", nargs="+")
+    ap.add_argument("--plot", default=None, help="write overlay plot PNG")
+    args = ap.parse_args()
+
+    rows = []
+    for d in args.dirs:
+        stems = find_runs(d)
+        if not stems:
+            print(f"(no runs found in {d})", file=sys.stderr)
+        for stem in stems:
+            rows.append((stem, load(stem)))
+
+    cols = [
+        ("run", "{:<40}"), ("ticks", "{:>6}"),
+        ("te_mean", "{:>8.4f}"), ("te_p50", "{:>8.4f}"),
+        ("te_p95", "{:>8.4f}"), ("solve_us_mean", "{:>12.0f}"),
+        ("solve_us_p95", "{:>12.0f}"), ("dt_ms_mean", "{:>8.2f}"),
+    ]
+    print(" ".join(name for name, _ in cols))
+    for stem, data in rows:
+        row = describe(stem, data)
+        cells = []
+        for name, fmt in cols:
+            v = row.get(name)
+            cells.append(fmt.format(v) if v is not None else " " * 8)
+        print(" ".join(cells))
+
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(2, 1, figsize=(11, 7), sharex=False)
+        for stem, data in rows:
+            label = os.path.relpath(stem)
+            te = data["tracking_errors"]
+            if te is not None:
+                axes[0].plot(te, label=f"{label} (mean {te.mean():.3f})",
+                             lw=0.8)
+            st = data["solve_times"]
+            if st is not None:
+                axes[1].plot(st / 1e3, label=label, lw=0.8)
+        axes[0].set_ylabel("tracking error [m]")
+        axes[0].legend(fontsize=7)
+        axes[1].set_ylabel("solve time [ms]")
+        axes[1].set_xlabel("tick")
+        axes[1].legend(fontsize=7)
+        fig.tight_layout()
+        fig.savefig(args.plot, dpi=120)
+        print(f"wrote {args.plot}")
+
+
+if __name__ == "__main__":
+    main()
