@@ -27,6 +27,9 @@ REF_SOLVES_PER_SEC = 7140.0  # reference batch-64 implied throughput
 
 
 def main():
+    from indy7_mpc_tpu.utils.cache import enable_cache
+
+    enable_cache()
     from indy7_mpc_tpu.config import CostConfig, SampleConfig, SQPConfig
     from indy7_mpc_tpu.models import indy7
     from indy7_mpc_tpu.mpc.sampled import init_wrench_batch

@@ -25,6 +25,9 @@ import numpy as np
 
 
 def main():
+    from indy7_mpc_tpu.utils.cache import enable_cache
+
+    enable_cache()
     from indy7_mpc_tpu.config import (
         CostConfig, MPCConfig, SampleConfig, SQPConfig,
     )

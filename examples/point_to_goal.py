@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--compare", action="store_true")
     args = ap.parse_args()
 
+    from indy7_mpc_tpu.utils.cache import enable_cache
+
+    enable_cache()
     from indy7_mpc_tpu.config import (
         CostConfig, MPCConfig, SampleConfig, SQPConfig,
     )
