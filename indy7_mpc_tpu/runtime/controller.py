@@ -129,20 +129,24 @@ def run_control_loop(
     walk_disturbance: bool = True,
     seed: int = 42,
     realtime: bool = True,
+    max_ticks: Optional[int] = None,
 ):
     """Closed loop against an external (or in-process) plant.
 
-    Returns the recorder (created if none was given).
+    Stops after ``duration`` seconds of wall clock or ``max_ticks`` control
+    ticks, whichever comes first.  Returns the recorder (created if none
+    was given).
     """
     recorder = recorder or RunRecorder()
     rng = np.random.default_rng(seed)
     period = 1.0 / rate_hz
     transport.send_wrench(controller.f_ext_actual)
 
+    ticks = 0
     deadline = time.time() + duration
     last_state_time = time.time()
     last_tick = time.time()
-    while time.time() < deadline:
+    while time.time() < deadline and (max_ticks is None or ticks < max_ticks):
         state = transport.recv_state()
         now = time.time()
         if state is None:
@@ -171,6 +175,7 @@ def run_control_loop(
             state.x[:6], info["solve_time_us"],
         )
         recorder.maybe_save()
+        ticks += 1
 
         if realtime:
             sleep = period - (time.time() - now)
