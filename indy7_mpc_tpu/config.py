@@ -43,6 +43,21 @@ class SQPConfig:
     rho: float = 1e-6  # Levenberg regularization on Quu (solver "rho" state)
     rho_max: float = 1e2
     rho_factor: float = 4.0  # backoff multiplier when the QP step is rejected
+    # QP backend:
+    #   "riccati"       — exact O(N) backward/forward sweep (the default);
+    #   "riccati_pscan" — same QP, backward pass as an associative scan
+    #                     (O(log N) depth; horizon-parallel);
+    #   "pcg"           — GATO-style dual Schur-complement PCG with
+    #                     block-Jacobi preconditioning (the reference CUDA
+    #                     solver's method, gato_controller.py:98-99).
+    qp_backend: str = "riccati"
+    pcg_tol: float = 1e-7
+    pcg_max_iters: int = 60
+    # Q-block regularization: PCG needs PD H, and the dual system's
+    # conditioning is ~cond(Q)^2 — 1e-4 keeps CG convergent on the
+    # rank-deficient GN position Hessians (the CUDA reference likewise
+    # regularizes statically).
+    pcg_primal_reg: float = 1e-4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -6,6 +6,7 @@ from .rnea import (
     forward_dynamics,
     world_wrench_to_ee_joint,
 )
+from .aba import aba, forward_dynamics_aba
 from .integrators import euler_step, rk4_step, split_state
 
 __all__ = [
@@ -18,6 +19,8 @@ __all__ = [
     "bias_forces",
     "forward_dynamics",
     "world_wrench_to_ee_joint",
+    "aba",
+    "forward_dynamics_aba",
     "euler_step",
     "rk4_step",
     "split_state",

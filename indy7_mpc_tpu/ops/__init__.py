@@ -1,3 +1,3 @@
-from . import kkt, riccati
+from . import kkt, pcg, riccati, riccati_pscan
 
-__all__ = ["kkt", "riccati"]
+__all__ = ["kkt", "pcg", "riccati", "riccati_pscan"]

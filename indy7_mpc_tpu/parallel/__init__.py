@@ -8,8 +8,11 @@ from .sharding import (
     make_sharded_sampled_tick,
 )
 
+from . import distributed
+
 __all__ = [
     "LANE_AXIS",
+    "distributed",
     "make_lane_mesh",
     "lane_sharding",
     "replicated",

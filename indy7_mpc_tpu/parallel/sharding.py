@@ -97,9 +97,15 @@ def make_sharded_sampled_tick(
 
     def fn(key, x_obs, x_last, u_last, goals, X_warm, U_warm, f_batch):
         f_batch = jax.lax.with_sharding_constraint(f_batch, lanes)
-        return sampled_tick(
+        res = sampled_tick(
             model, cost_cfg, sqp_cfg, sample_cfg, dt,
             key, x_obs, x_last, u_last, goals, X_warm, U_warm, f_batch,
+        )
+        # Keep the resampled hypothesis batch lane-sharded so it feeds the
+        # next tick directly (otherwise XLA may emit it replicated, which
+        # mismatches in_shardings on the feedback edge).
+        return res._replace(
+            f_batch=jax.lax.with_sharding_constraint(res.f_batch, lanes)
         )
 
     return jax.jit(

@@ -110,6 +110,45 @@ class SampledController:
         }
         return u, info
 
+    def save_checkpoint(self, path: str) -> str:
+        """Persist the controller's full warm-start/estimator state.
+
+        The reference's only "resume" is in-memory warm starting
+        (SURVEY.md section 5.4); here the same state — RNG key, reference
+        window offset, wrench hypotheses, best trajectory, last
+        state/control — round-trips through one .npz so a run can stop
+        and resume bit-identically (tests/test_runtime.py).
+        """
+        np.savez(
+            path,
+            key=np.asarray(self.key),
+            ref_offset=np.asarray(self.ref_offset),
+            f_batch=np.asarray(self.f_batch),
+            f_ext_actual=self.f_ext_actual,
+            X_best=np.asarray(self.X_best),
+            U_best=np.asarray(self.U_best),
+            x_last=(
+                np.asarray(self.x_last)
+                if self.x_last is not None
+                else np.full(self.model.nx, np.nan)
+            ),
+            u_last=np.asarray(self.u_last),
+        )
+        return path
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore state saved by :meth:`save_checkpoint`."""
+        z = np.load(path)
+        self.key = jnp.asarray(z["key"])
+        self.ref_offset = float(z["ref_offset"])
+        self.f_batch = jnp.asarray(z["f_batch"])
+        self.f_ext_actual = np.asarray(z["f_ext_actual"])
+        self.X_best = jnp.asarray(z["X_best"])
+        self.U_best = jnp.asarray(z["U_best"])
+        x_last = z["x_last"]
+        self.x_last = None if np.any(np.isnan(x_last)) else jnp.asarray(x_last)
+        self.u_last = jnp.asarray(z["u_last"])
+
     def maybe_walk_disturbance(self, rng: np.random.Generator):
         """Random-walk the true wrench every 200 ref steps
         (gato_controller.py:236-239); returns it when it changed."""

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..config import CostConfig, SQPConfig
 from ..models.robot import RobotModel
-from ..ops import kkt, riccati
+from ..ops import kkt, pcg, riccati, riccati_pscan
 
 
 class SolverState(NamedTuple):
@@ -44,6 +44,9 @@ class SQPStats(NamedTuple):
     iterations: jnp.ndarray   # () number of accepted QP iterations
     step_sizes: jnp.ndarray   # (max_iters,) ||alpha * dz|| per iteration
     alphas: jnp.ndarray       # (max_iters,) line-search alphas (0 = reject)
+    # (max_iters,) CG iterations per SQP iteration when qp_backend="pcg"
+    # (the reference's pcg_stats[i].pcg_iterations); None under "riccati".
+    pcg_iters: Optional[jnp.ndarray] = None
 
 
 class SQPResult(NamedTuple):
@@ -89,6 +92,23 @@ def solve(
     iters = jnp.asarray(0, jnp.int32)
     step_sizes = jnp.zeros(sqp_cfg.max_iters, X.dtype)
     alpha_log = jnp.zeros(sqp_cfg.max_iters, X.dtype)
+    use_pcg = sqp_cfg.qp_backend == "pcg"
+    pcg_log = jnp.zeros(sqp_cfg.max_iters, jnp.int32) if use_pcg else None
+
+    def qp_solve(blocks, x_init):
+        if use_pcg:
+            sol = pcg.solve(
+                blocks, x_init, rho,
+                primal_reg=sqp_cfg.pcg_primal_reg,
+                tol=sqp_cfg.pcg_tol,
+                max_iters=sqp_cfg.pcg_max_iters,
+            )
+            return sol.X, sol.U, sol.iterations
+        if sqp_cfg.qp_backend == "riccati_pscan":
+            sol = riccati_pscan.solve_pscan(blocks, x_init, rho)
+        else:
+            sol = riccati.solve(blocks, x_init, rho)
+        return sol.X, sol.U, None
 
     def merit_of(Xc, Uc, x0_prev):
         return merit(
@@ -101,15 +121,18 @@ def solve(
             blocks = kkt.build_qp_gn(
                 model, cost_cfg, X, U, goals, dt, wrench_world=wrench_world
             )
-            sol = riccati.solve(blocks, xs - X[0], rho)
-            dX, dU = sol.X, sol.U
+            dX, dU, cg_it = qp_solve(blocks, xs - X[0])
         else:
             blocks = kkt.build_qp(
                 model, cost_cfg, X, U, goals, dt, wrench_world=wrench_world
             )
-            sol = riccati.solve(blocks, xs, rho)
-            dX = sol.X - X
-            dU = sol.U - U
+            Xq, Uq, cg_it = qp_solve(blocks, xs)
+            dX = Xq - X
+            dU = Uq - U
+        if use_pcg:
+            pcg_log = pcg_log.at[it].set(
+                jnp.where(done, 0, cg_it).astype(jnp.int32)
+            )
 
         base = merit_of(X, U, X[0])
 
@@ -151,7 +174,12 @@ def solve(
         X=X,
         U=U,
         state=SolverState(rho=rho.astype(state.rho.dtype)),
-        stats=SQPStats(iterations=iters, step_sizes=step_sizes, alphas=alpha_log),
+        stats=SQPStats(
+            iterations=iters,
+            step_sizes=step_sizes,
+            alphas=alpha_log,
+            pcg_iters=pcg_log,
+        ),
     )
 
 

@@ -193,3 +193,51 @@ def test_float32_close_to_float64(model64, model32):
     np.testing.assert_allclose(
         np.asarray(a32), np.asarray(a64), rtol=2e-3, atol=2e-3
     )
+
+
+def test_aba_matches_crba_forward_dynamics(model64):
+    """ABA (O(n) articulated-body recursion, the reference's pin.aba) must
+    equal the CRBA + Cholesky forward dynamics to machine precision,
+    with and without gravity and an EE wrench."""
+    from indy7_mpc_tpu.dynamics.aba import forward_dynamics_aba
+    from indy7_mpc_tpu.dynamics.rnea import (
+        forward_dynamics,
+        world_wrench_to_ee_joint,
+    )
+
+    m = model64
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(5, 6)) * 0.8)
+    v = jnp.asarray(rng.normal(size=(5, 6)) * 1.5)
+    tau = jnp.asarray(rng.normal(size=(5, 6)) * 30.0)
+
+    a_ref = forward_dynamics(m, q, v, tau)
+    a_aba = forward_dynamics_aba(m, q, v, tau)
+    np.testing.assert_allclose(np.asarray(a_aba), np.asarray(a_ref),
+                               rtol=1e-10, atol=1e-10)
+
+    a_ref = forward_dynamics(m, q, v, tau, gravity=False)
+    a_aba = forward_dynamics_aba(m, q, v, tau, gravity=False)
+    np.testing.assert_allclose(np.asarray(a_aba), np.asarray(a_ref),
+                               rtol=1e-10, atol=1e-10)
+
+    w_world = jnp.asarray([10.0, -15.0, 6.0, 1.0, -2.0, 0.5])
+    f_ee = jax.vmap(lambda qi: world_wrench_to_ee_joint(m, qi, w_world))(q)
+    a_ref = forward_dynamics(m, q, v, tau, f_ext_ee=f_ee)
+    a_aba = forward_dynamics_aba(m, q, v, tau, f_ext_ee=f_ee)
+    np.testing.assert_allclose(np.asarray(a_aba), np.asarray(a_ref),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_aba_jit_and_grad(model64):
+    """ABA must trace under jit and differentiate (it feeds linearization)."""
+    from indy7_mpc_tpu.dynamics.aba import forward_dynamics_aba
+
+    m = model64
+    q = jnp.full(6, 0.3)
+    v = jnp.full(6, 0.2)
+    tau = jnp.full(6, 5.0)
+    a = jax.jit(lambda q, v, t: forward_dynamics_aba(m, q, v, t))(q, v, tau)
+    assert a.shape == (6,)
+    J = jax.jacfwd(lambda qq: forward_dynamics_aba(m, qq, v, tau))(q)
+    assert np.all(np.isfinite(np.asarray(J)))

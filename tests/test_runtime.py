@@ -103,3 +103,43 @@ def test_udp_loop_against_native_plant(model32, tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_checkpoint_resume_bit_identical(model32, tmp_path):
+    """Stop/resume via save_checkpoint must reproduce the uninterrupted
+    run exactly: same controls, same states (deterministic resume)."""
+    model = model32
+    x0 = np.zeros(12)
+    ref = _hold_ref(model, x0[:6], 400)
+
+    def fresh():
+        return InProcessPlant(model, x0, MPC.dt), _controller(model, ref)
+
+    # Uninterrupted: 8 ticks.
+    plant_a, ctl_a = fresh()
+    ua = []
+    for _ in range(8):
+        st = plant_a.recv_state()
+        u, _ = ctl_a.on_state(st.x, MPC.dt)
+        plant_a.send_command(u)
+        ua.append(u.copy())
+
+    # Interrupted: 4 ticks, checkpoint, fresh controller, restore, 4 more.
+    plant_b, ctl_b = fresh()
+    ub = []
+    for _ in range(4):
+        st = plant_b.recv_state()
+        u, _ = ctl_b.on_state(st.x, MPC.dt)
+        plant_b.send_command(u)
+        ub.append(u.copy())
+    ckpt = ctl_b.save_checkpoint(str(tmp_path / "ctl.npz"))
+
+    ctl_c = _controller(model, ref)
+    ctl_c.load_checkpoint(ckpt)
+    for _ in range(4):
+        st = plant_b.recv_state()
+        u, _ = ctl_c.on_state(st.x, MPC.dt)
+        plant_b.send_command(u)
+        ub.append(u.copy())
+
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))

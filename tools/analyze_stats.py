@@ -70,6 +70,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("dirs", nargs="+")
     ap.add_argument("--plot", default=None, help="write overlay plot PNG")
+    ap.add_argument("--plot3d", default=None,
+                    help="write 3D EE path vs reference grid PNG "
+                         "(stat_analysis.ipynb cell 2 equivalent)")
     args = ap.parse_args()
 
     rows = []
@@ -119,6 +122,37 @@ def main():
         fig.tight_layout()
         fig.savefig(args.plot, dpi=120)
         print(f"wrote {args.plot}")
+
+    if args.plot3d:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        runs3d = [
+            (stem, d) for stem, d in rows
+            if d["ee_positions"] is not None
+            and d["ee_ref_positions"] is not None
+        ]
+        if not runs3d:
+            print("(no runs with ee paths for --plot3d)", file=sys.stderr)
+            return
+        ncols = min(4, len(runs3d))
+        nrows = (len(runs3d) + ncols - 1) // ncols
+        fig = plt.figure(figsize=(4.2 * ncols, 3.8 * nrows))
+        for i, (stem, d) in enumerate(runs3d):
+            ax = fig.add_subplot(nrows, ncols, i + 1, projection="3d")
+            ee = d["ee_positions"]
+            ref = d["ee_ref_positions"]
+            ax.plot(*ref.T, lw=0.8, color="0.55", label="reference")
+            ax.plot(*ee.T, lw=0.7, label="ee path")
+            ax.set_title(os.path.relpath(stem), fontsize=7)
+            ax.tick_params(labelsize=6)
+            if i == 0:
+                ax.legend(fontsize=6)
+        fig.tight_layout()
+        fig.savefig(args.plot3d, dpi=120)
+        print(f"wrote {args.plot3d}")
 
 
 if __name__ == "__main__":
