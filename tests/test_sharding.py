@@ -106,3 +106,36 @@ def test_sharded_sampled_tick_matches_local(model64):
         np.asarray(sharded.f_batch), np.asarray(local.f_batch),
         rtol=1e-8, atol=1e-10,
     )
+
+
+def test_sharded_tick_feedback_edge_stays_lane_sharded(model64):
+    """The resampled f_batch must come back lane-sharded so it can feed
+    the next tick's in_shardings directly (regression: XLA emitted it
+    replicated, breaking the tick->tick feedback edge in multi-process
+    runs)."""
+    from jax.sharding import PartitionSpec as P
+
+    m = model64
+    cost_cfg = CostConfig()
+    sqp_cfg = SQPConfig(max_iters=1)
+    sample_cfg = SampleConfig(batch_size=8, f_ext_std=8.0,
+                              f_ext_resample_std=0.5)
+    dt = 0.01
+    x0 = jnp.zeros(12, jnp.float64)
+    goals = jnp.tile(ee_pos(m, x0[:6]), (4, 1))
+    X = jnp.zeros((4, 12), jnp.float64)
+    U = jnp.zeros((3, 6), jnp.float64)
+    key = jax.random.PRNGKey(3)
+    f_batch = init_wrench_batch(key, sample_cfg, jnp.float64)
+    u_last = jnp.zeros(6, jnp.float64)
+
+    mesh = make_lane_mesh()
+    tick = make_sharded_sampled_tick(
+        m, cost_cfg, sqp_cfg, sample_cfg, dt, mesh
+    )
+    out = tick(key, x0, x0, u_last, goals, X, U, shard_lanes(mesh, f_batch))
+    spec = out.f_batch.sharding.spec
+    assert spec == P("lanes"), spec
+    # And the feedback edge accepts it without resharding errors.
+    out2 = tick(key, x0, x0, u_last, goals, X, U, out.f_batch)
+    assert np.all(np.isfinite(np.asarray(out2.u)))
