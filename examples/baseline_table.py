@@ -35,7 +35,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ticks", nargs="?", type=int, default=1000)
     ap.add_argument("--json", default=None)
-    ap.add_argument("--solve-iters", type=int, default=50)
+    ap.add_argument("--solve-iters", type=int, default=400)
     args = ap.parse_args()
 
     from indy7_mpc_tpu.utils.cache import enable_cache
@@ -89,7 +89,9 @@ def main():
         # Pipelined timing (block once per chunk): measures device time,
         # not the host<->device dispatch round trip, which on a tunneled
         # dev chip is tens of ms and on production hardware is not on the
-        # critical path (the closed loop runs fully on device).
+        # critical path (the closed loop runs fully on device).  Chunks
+        # must be deep (~100+) for the enqueue stream to hide the tunnel
+        # RTT; shallow chunks overstate latency several-fold.
         jsolve = jax.jit(lambda *a: solve_fn(*a))
         out = jsolve(xs_b, goals_b, X_b, U_b, wrench_b)
         jax.block_until_ready(out.X)
