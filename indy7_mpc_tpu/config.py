@@ -49,10 +49,22 @@ class SQPConfig:
     #                     (O(log N) depth; horizon-parallel);
     #   "pcg"           — GATO-style dual Schur-complement PCG with
     #                     block-Jacobi preconditioning (the reference CUDA
-    #                     solver's method, gato_controller.py:98-99).
+    #                     solver's method, gato_controller.py:98-99);
+    #   "admm"          — OSQP's operator-splitting ADMM on the same
+    #                     structured blocks (the reference CPU path's
+    #                     solver, osqp_solver.py:39-41, 137-143),
+    #                     factor-once block-tridiagonal Cholesky.
     qp_backend: str = "riccati"
     pcg_tol: float = 1e-7
     pcg_max_iters: int = 60
+    # ADMM backend knobs (OSQP defaults: sigma 1e-6, alpha 1.6; rho fixed
+    # at the equality-constraint scaling rho*1e3 since refactoring on rho
+    # updates would defeat the factor-once structure under jit).
+    admm_sigma: float = 1e-6
+    admm_rho: float = 1e3
+    admm_alpha: float = 1.6
+    admm_eps: float = 1e-6
+    admm_max_iters: int = 200
     # Q-block regularization: PCG needs PD H, and the dual system's
     # conditioning is ~cond(Q)^2 — 1e-4 keeps CG convergent on the
     # rank-deficient GN position Hessians (the CUDA reference likewise

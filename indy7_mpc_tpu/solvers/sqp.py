@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..config import CostConfig, SQPConfig
 from ..models.robot import RobotModel
-from ..ops import kkt, pcg, riccati, riccati_pscan
+from ..ops import admm, kkt, pcg, riccati, riccati_pscan
 
 
 class SolverState(NamedTuple):
@@ -44,8 +44,10 @@ class SQPStats(NamedTuple):
     iterations: jnp.ndarray   # () number of accepted QP iterations
     step_sizes: jnp.ndarray   # (max_iters,) ||alpha * dz|| per iteration
     alphas: jnp.ndarray       # (max_iters,) line-search alphas (0 = reject)
-    # (max_iters,) CG iterations per SQP iteration when qp_backend="pcg"
-    # (the reference's pcg_stats[i].pcg_iterations); None under "riccati".
+    # (max_iters,) inner-QP iterations per SQP iteration for the iterative
+    # backends: CG iterations under qp_backend="pcg" (the reference's
+    # pcg_stats[i].pcg_iterations), ADMM iterations under "admm" (OSQP's
+    # iteration count); None under the direct Riccati backends.
     pcg_iters: Optional[jnp.ndarray] = None
 
 
@@ -92,16 +94,27 @@ def solve(
     iters = jnp.asarray(0, jnp.int32)
     step_sizes = jnp.zeros(sqp_cfg.max_iters, X.dtype)
     alpha_log = jnp.zeros(sqp_cfg.max_iters, X.dtype)
-    use_pcg = sqp_cfg.qp_backend == "pcg"
-    pcg_log = jnp.zeros(sqp_cfg.max_iters, jnp.int32) if use_pcg else None
+    iterative = sqp_cfg.qp_backend in ("pcg", "admm")
+    pcg_log = jnp.zeros(sqp_cfg.max_iters, jnp.int32) if iterative else None
 
     def qp_solve(blocks, x_init):
-        if use_pcg:
+        if sqp_cfg.qp_backend == "pcg":
             sol = pcg.solve(
                 blocks, x_init, rho,
                 primal_reg=sqp_cfg.pcg_primal_reg,
                 tol=sqp_cfg.pcg_tol,
                 max_iters=sqp_cfg.pcg_max_iters,
+            )
+            return sol.X, sol.U, sol.iterations
+        if sqp_cfg.qp_backend == "admm":
+            sol = admm.solve(
+                blocks, x_init, rho,
+                sigma=sqp_cfg.admm_sigma,
+                rho_admm=sqp_cfg.admm_rho,
+                alpha=sqp_cfg.admm_alpha,
+                eps_abs=sqp_cfg.admm_eps,
+                eps_rel=sqp_cfg.admm_eps,
+                max_iters=sqp_cfg.admm_max_iters,
             )
             return sol.X, sol.U, sol.iterations
         if sqp_cfg.qp_backend == "riccati_pscan":
@@ -129,7 +142,7 @@ def solve(
             Xq, Uq, cg_it = qp_solve(blocks, xs)
             dX = Xq - X
             dU = Uq - U
-        if use_pcg:
+        if iterative:
             pcg_log = pcg_log.at[it].set(
                 jnp.where(done, 0, cg_it).astype(jnp.int32)
             )
