@@ -59,23 +59,50 @@ def main():
         )
         return res.X, res.U
 
-    # Compile + warm up.
+    # Back-to-back warm-started solves chained on device (lax.fori_loop):
+    # the deployed configuration — the closed-loop examples run the whole
+    # MPC loop inside one jitted scan, so no host dispatch separates
+    # consecutive solves.  Each chain step is a full solve (2 SQP iters).
+    R = 10
+
+    @jax.jit
+    def solve_chain(xs_b, goals_b, X_b, U_b, wrench_b):
+        def body(_, XU):
+            res = sqp_mod.batch_solve(
+                model, cost_cfg, sqp_cfg, dt, xs_b, goals_b, XU[0], XU[1],
+                wrench_world_batch=wrench_b,
+            )
+            return res.X, res.U
+
+        return jax.lax.fori_loop(0, R, body, (X_b, U_b))
+
+    # Compile + warm up both programs.
     X_w, U_w = solve(xs_b, goals_b, X_b, U_b, wrench_b)
     jax.block_until_ready((X_w, U_w))
+    out = solve_chain(xs_b, goals_b, X_w, U_w, wrench_b)
+    jax.block_until_ready(out)
 
-    # Timed: warm-started solves (the closed-loop steady state).
+    # Single-dispatch latency (one solve per host call — the external-plant
+    # real-time path; includes host->device dispatch).
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         X_w, U_w = solve(xs_b, goals_b, X_w, U_w, wrench_b)
     jax.block_until_ready((X_w, U_w))
-    t1 = time.perf_counter()
+    t_dispatch = (time.perf_counter() - t0) / iters
 
-    per_solve_s = (t1 - t0) / iters
+    # Throughput: chained back-to-back solves.
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = solve_chain(xs_b, goals_b, out[0], out[1], wrench_b)
+    jax.block_until_ready(out)
+    per_solve_s = (time.perf_counter() - t0) / (iters * R)
     solves_per_sec = B / per_solve_s
 
     print(
-        f"# per-batch solve: {per_solve_s * 1e6:.0f} us  "
+        f"# per-batch solve: {per_solve_s * 1e6:.0f} us chained on device, "
+        f"{t_dispatch * 1e6:.0f} us single-dispatch  "
         f"(B={B}, N={N}, {sqp_cfg.max_iters} SQP iters, "
         f"{jax.devices()[0].device_kind})",
         file=sys.stderr,

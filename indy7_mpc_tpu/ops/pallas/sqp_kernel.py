@@ -211,6 +211,7 @@ def _sqp_kernel(
     dt: float,
     N: int,
     use_wrench: bool,
+    stages: int,
     # refs:
     xs_ref, goals_ref, X_ref, U_ref, w_ref, rho_ref,
     Xo_ref, Uo_ref, rhoo_ref, alpha_ref, step_ref,
@@ -267,6 +268,9 @@ def _sqp_kernel(
         qv_scr[N - 1] = qvec_T
         sc_scr[N - 1] = scale2_T
         J_scr[N - 1] = Jrows_T
+
+        if stages < 2:  # profiling cut: linearize only
+            continue
 
         # ---- Stage 2: Riccati backward sweep ----
         QN = cost_cfg.QN
@@ -341,6 +345,9 @@ def _sqp_kernel(
 
         jax.lax.fori_loop(0, Nm1, bwd_body, 0)
 
+        if stages < 3:  # profiling cut: linearize + backward sweep
+            continue
+
         # ---- Stage 3: forward rollout of the delta policy ----
         dX_scr[0] = jnp.zeros((NX, T), dtype)  # x0 pinned => dx0 = 0
 
@@ -362,6 +369,9 @@ def _sqp_kernel(
             return 0
 
         jax.lax.fori_loop(0, Nm1, fwd_body, 0)
+
+        if stages < 4:  # profiling cut: no line search / update
+            continue
 
         # ---- Stage 4: folded 9-candidate merit line search ----
         def merit_knot_cost(xc, goal, qmod):
@@ -474,6 +484,7 @@ def sqp_solve_pallas(
     rho_b=None,
     tile: int = 128,
     interpret: bool = False,
+    stages: int = 4,
 ):
     """Batched SQP solve, lane-major pallas path.
 
@@ -483,6 +494,10 @@ def sqp_solve_pallas(
 
     Returns (X (N, 12, B), U (N-1, 6, B), rho (B,), alphas (iters, B),
     steps (iters, B)).
+
+    ``stages`` truncates each SQP iteration after stage 1 (linearize),
+    2 (+Riccati backward), or 3 (+forward rollout) — a profiling aid for
+    attributing kernel time (outputs are then meaningless); 4 = full solve.
     """
     sm = LR.static_model(model)
     B = xs_b.shape[-1]
@@ -498,7 +513,7 @@ def sqp_solve_pallas(
     rho_b = rho_b.reshape(1, B)
 
     kernel = functools.partial(
-        _sqp_kernel, sm, cost_cfg, sqp_cfg, dt, N, use_wrench
+        _sqp_kernel, sm, cost_cfg, sqp_cfg, dt, N, use_wrench, stages
     )
     Nm1 = N - 1
     it = sqp_cfg.max_iters
