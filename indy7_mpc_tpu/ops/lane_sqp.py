@@ -228,11 +228,44 @@ def _from_rows(rows):
     return jnp.stack([jnp.stack(list(r)) for r in rows])
 
 
+def _cmul(a, b):
+    """a * b with Python-float constant folding.
+
+    Inside the fused kernel, A/B dynamics blocks carry literal 0.0 / 1.0 /
+    dt entries (_A_from_da, _B_from_minv); Mosaic does not reliably fold
+    multiplies by those constants, so fold them at trace time: 0 * x drops
+    the term entirely (None), 1 * x passes x through.  Identical numerics
+    (dropping a +0.0*x addend only ever flips a -0.0 result to +0.0).
+    """
+    if isinstance(a, (float, int)):
+        if a == 0.0:
+            return None
+        if a == 1.0:
+            return b
+    if isinstance(b, (float, int)):
+        if b == 0.0:
+            return None
+        if b == 1.0:
+            return a
+    return a * b
+
+
+def _csum(terms):
+    """Sum skipping folded-away (None) terms; 0.0 if all vanish."""
+    acc = None
+    for t in terms:
+        if t is None:
+            continue
+        acc = t if acc is None else acc + t
+    return 0.0 if acc is None else acc
+
+
 def _matmul(Arows, Brows, n, k, m):
-    """(n x k) @ (k x m) on nested tuples of (B,)."""
+    """(n x k) @ (k x m) on nested tuples of (B,); entries may be floats."""
     return tuple(
         tuple(
-            sum(Arows[i][t] * Brows[t][j] for t in range(k)) for j in range(m)
+            _csum(_cmul(Arows[i][t], Brows[t][j]) for t in range(k))
+            for j in range(m)
         )
         for i in range(n)
     )
@@ -242,18 +275,23 @@ def _matTmul(Arows, Brows, n, k, m):
     """A^T (k x n -> n x k) @ B: A given as (k x n)."""
     return tuple(
         tuple(
-            sum(Arows[t][i] * Brows[t][j] for t in range(k)) for j in range(m)
+            _csum(_cmul(Arows[t][i], Brows[t][j]) for t in range(k))
+            for j in range(m)
         )
         for i in range(n)
     )
 
 
 def _matvec(Arows, v, n, k):
-    return tuple(sum(Arows[i][t] * v[t] for t in range(k)) for i in range(n))
+    return tuple(
+        _csum(_cmul(Arows[i][t], v[t]) for t in range(k)) for i in range(n)
+    )
 
 
 def _matTvec(Arows, v, n, k):
-    return tuple(sum(Arows[t][i] * v[t] for t in range(k)) for i in range(n))
+    return tuple(
+        _csum(_cmul(Arows[t][i], v[t]) for t in range(k)) for i in range(n)
+    )
 
 
 def riccati(blocks: LaneBlocks, xs_delta, rho):

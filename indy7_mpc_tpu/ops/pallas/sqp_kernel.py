@@ -71,7 +71,12 @@ def _linearize_knot(sm, cfg, dt, x, u, w, goal):
 
     Returns (da (list 6 of (12, T): row t = d a_i / d x_t), minv (6x6 list
     of (T,)), xnext (12, T), qvec (12, T) cost gradient, scale2 (2, T):
-    [2 dQmod, 2 Rmod], J rows (18, T)).
+    [2 dQmod, 2 Rmod], J rows (18, T), base_cost (T,)).
+
+    ``base_cost`` is this knot's contribution to the alpha=0
+    (current-trajectory) merit cost — err^2 + dQ v^2 + R u^2 — a free
+    byproduct of the cost evaluation that lets the line search fold only
+    the 8 nonzero alpha candidates.
     """
     T = x.shape[-1]
     dtype = x.dtype
@@ -125,7 +130,8 @@ def _linearize_knot(sm, cfg, dt, x, u, w, goal):
     # Cost data: EE position, Jacobian, GN gradient, adaptive scales.
     eep, cols = LR.ee_pos_jacobian(sm, q)
     err = [eep[i] - goal[i] for i in range(3)]
-    err_norm = LR.fast_sqrt(err[0] ** 2 + err[1] ** 2 + err[2] ** 2)
+    err2 = err[0] ** 2 + err[1] ** 2 + err[2] ** 2
+    err_norm = LR.fast_sqrt(err2)
     if cfg.regularize:
         scale = 1.0 / (err_norm + cfg.eps)
     else:
@@ -141,16 +147,25 @@ def _linearize_knot(sm, cfg, dt, x, u, w, goal):
     # J rows stored a-major: row a*6+i = J[a][i] (matches _Q_from_J).
     Jrows = jnp.stack([cols[i][a] for a in range(3) for i in range(NQ)])
     scale2 = jnp.stack([twodQ, twoR])
-    return da, minv, xnext, qvec, scale2, Jrows
+    v2 = sum(v[i] * v[i] for i in range(NQ))
+    u2 = sum(uu[i] * uu[i] for i in range(NU))
+    base_cost = (err2 + cfg.dQ * v2) + cfg.R * u2
+    return da, minv, xnext, qvec, scale2, Jrows, base_cost
 
 
 def _cost_knot(sm, cfg, goal, x):
-    """(qvec, scale2, Jrows) for a knot without dynamics (terminal)."""
+    """(qvec, scale2, Jrows, base_cost) for the terminal knot.
+
+    ``base_cost`` is the terminal knot's alpha=0 merit contribution
+    QN err^2 + dQ v^2 (the caller's merit applies QN to err^2 only,
+    mirroring osqp_sqp.py eepos_cost terminal weighting).
+    """
     q = _rows(x, NQ)
     v = [x[NQ + i] for i in range(NQ)]
     eep, cols = LR.ee_pos_jacobian(sm, q)
     err = [eep[i] - goal[i] for i in range(3)]
-    err_norm = LR.fast_sqrt(err[0] ** 2 + err[1] ** 2 + err[2] ** 2)
+    err2 = err[0] ** 2 + err[1] ** 2 + err[2] ** 2
+    err_norm = LR.fast_sqrt(err2)
     if cfg.regularize:
         scale = 1.0 / (err_norm + cfg.eps)
     else:
@@ -162,7 +177,9 @@ def _cost_knot(sm, cfg, goal, x):
         [jnp.stack(gp), jnp.stack([twodQ * v[i] for i in range(NQ)])]
     )
     Jrows = jnp.stack([cols[i][a] for a in range(3) for i in range(NQ)])
-    return qvec, jnp.stack([twodQ, twoR]), Jrows
+    v2 = sum(v[i] * v[i] for i in range(NQ))
+    base_cost = cfg.QN * err2 + cfg.dQ * v2
+    return qvec, jnp.stack([twodQ, twoR]), Jrows, base_cost
 
 
 def _Q_from_J(Jrows, twodQ, qmod_static):
@@ -223,13 +240,16 @@ def _sqp_kernel(
     Nm1 = N - 1
     mu = sqp_cfg.merit_mu
     alphas = [0.5**i for i in range(sqp_cfg.num_alphas)]
-    # (num_alphas+1, 1) candidate scales, built op-wise (no array literals).
+    # (num_alphas, 1) candidate scales, built op-wise (no array literals).
+    # The alpha=0 base merit comes free from stage 1, so only the nonzero
+    # candidates fold into the line-search batch (8 rows = one sublane
+    # tile instead of two at 9).
     cand_id = jax.lax.broadcasted_iota(
-        jnp.int32, (sqp_cfg.num_alphas + 1, 1), 0
+        jnp.int32, (sqp_cfg.num_alphas, 1), 0
     )
-    alf9 = jnp.zeros((sqp_cfg.num_alphas + 1, 1), dtype)
+    alf8 = jnp.zeros((sqp_cfg.num_alphas, 1), dtype)
     for i, a in enumerate(alphas):
-        alf9 = jnp.where(cand_id == i, a, alf9)
+        alf8 = jnp.where(cand_id == i, a, alf8)
 
     # Working trajectory lives in the output refs.
     Xo_ref[...] = X_ref[...]
@@ -242,32 +262,44 @@ def _sqp_kernel(
 
     for it in range(sqp_cfg.max_iters):
         # ---- Stage 1: linearize + cost data, knot loop ----
-        def lin_body(k, _):
+        # Accumulates the alpha=0 merit (cost, violation) as a byproduct:
+        # the base defect is exactly d_scr, the base cost reuses the FK
+        # already evaluated for the GN blocks.
+        def lin_body(k, acc):
+            bcost, bcv = acc
             x = Xo_ref[k]
             u = Uo_ref[k]
             goal = [goals_ref[k, i] for i in range(3)]
-            da, minv, xnext, qvec, scale2, Jrows = _linearize_knot(
+            da, minv, xnext, qvec, scale2, Jrows, bc_k = _linearize_knot(
                 sm, cost_cfg, dt, x, u, w, goal
             )
             da_scr[k] = jnp.concatenate(da)                    # (72, T)
             minv_scr[k] = jnp.stack(
                 [minv[i][j] for i in range(NU) for j in range(NU)]
             )
-            d_scr[k] = xnext - Xo_ref[k + 1]
+            d = xnext - Xo_ref[k + 1]
+            d_scr[k] = d
             qv_scr[k] = qvec
             sc_scr[k] = scale2
             J_scr[k] = Jrows
-            return 0
+            dq2 = sum(d[i] * d[i] for i in range(NQ))
+            dv2 = sum(d[NQ + i] * d[NQ + i] for i in range(NQ))
+            cv_k = LR.fast_sqrt(dq2) + LR.fast_sqrt(dv2)
+            return (bcost + bc_k, bcv + cv_k)
 
-        jax.lax.fori_loop(0, Nm1, lin_body, 0)
+        zeroT = jnp.zeros((T,), dtype)
+        base_cost, base_cv = jax.lax.fori_loop(
+            0, Nm1, lin_body, (zeroT, zeroT)
+        )
         # Terminal knot cost data.
         goal_T = [goals_ref[N - 1, i] for i in range(3)]
-        qvec_T, scale2_T, Jrows_T = _cost_knot(
+        qvec_T, scale2_T, Jrows_T, bc_T = _cost_knot(
             sm, cost_cfg, goal_T, Xo_ref[N - 1]
         )
         qv_scr[N - 1] = qvec_T
         sc_scr[N - 1] = scale2_T
         J_scr[N - 1] = Jrows_T
+        base_merit = (base_cost + bc_T) + mu * base_cv
 
         if stages < 2:  # profiling cut: linearize only
             continue
@@ -373,9 +405,10 @@ def _sqp_kernel(
         if stages < 4:  # profiling cut: no line search / update
             continue
 
-        # ---- Stage 4: folded 9-candidate merit line search ----
+        # ---- Stage 4: folded 8-candidate merit line search ----
+        # (the alpha=0 base merit was accumulated in stage 1)
         def merit_knot_cost(xc, goal, qmod):
-            # xc: (9, ...) candidate fold per component list
+            # xc: (num_alphas, ...) candidate fold per component list
             q = xc[:NQ]
             v = xc[NQ:]
             eep = LR.ee_pos(sm, q)
@@ -391,9 +424,9 @@ def _sqp_kernel(
             dx = dX_scr[k]
             dxn = dX_scr[k + 1]
             du = dU_scr[k]
-            xc = [x[i][None, :] + alf9 * dx[i][None, :] for i in range(NX)]
-            xnc = [xn[i][None, :] + alf9 * dxn[i][None, :] for i in range(NX)]
-            uc = [u[i][None, :] + alf9 * du[i][None, :] for i in range(NU)]
+            xc = [x[i][None, :] + alf8 * dx[i][None, :] for i in range(NX)]
+            xnc = [xn[i][None, :] + alf8 * dxn[i][None, :] for i in range(NX)]
+            uc = [u[i][None, :] + alf8 * du[i][None, :] for i in range(NU)]
             goal = [goals_ref[k, i][None, :] for i in range(3)]
             cost_k = merit_knot_cost(xc, goal, 1.0)
             cost_k = cost_k + cost_cfg.R * sum(
@@ -416,19 +449,19 @@ def _sqp_kernel(
             cv_k = LR.fast_sqrt(dq2) + LR.fast_sqrt(dv2)
             return (cost_acc + cost_k, cv_acc + cv_k)
 
-        zero9 = jnp.zeros((sqp_cfg.num_alphas + 1, T), dtype)
+        zero8 = jnp.zeros((sqp_cfg.num_alphas, T), dtype)
         cost_acc, cv_acc = jax.lax.fori_loop(
-            0, Nm1, ls_body, (zero9, zero9)
+            0, Nm1, ls_body, (zero8, zero8)
         )
         # Terminal knot cost (QN) + initial-state deviation (alpha dx0 = 0).
         xT = Xo_ref[N - 1]
         dxT = dX_scr[N - 1]
-        xTc = [xT[i][None, :] + alf9 * dxT[i][None, :] for i in range(NX)]
-        goal_T9 = [goals_ref[N - 1, i][None, :] for i in range(3)]
-        cost_acc = cost_acc + merit_knot_cost(xTc, goal_T9, cost_cfg.QN)
-        merits = cost_acc + mu * cv_acc  # (9, T)
+        xTc = [xT[i][None, :] + alf8 * dxT[i][None, :] for i in range(NX)]
+        goal_T8 = [goals_ref[N - 1, i][None, :] for i in range(3)]
+        cost_acc = cost_acc + merit_knot_cost(xTc, goal_T8, cost_cfg.QN)
+        merits = cost_acc + mu * cv_acc  # (num_alphas, T)
 
-        base = merits[sqp_cfg.num_alphas]
+        base = base_merit
         alpha = jnp.zeros((T,), dtype)
         for i in range(sqp_cfg.num_alphas - 1, -1, -1):
             alpha = jnp.where(merits[i] <= base, alphas[i], alpha)

@@ -44,14 +44,19 @@ def test_kernel_matches_oracle():
     )(xs_b, goals_b, X_b, U_b, w_b)
 
     # Oracle: per-lane blocks + Riccati; candidate step with the kernel's
-    # own accepted alpha must reproduce the kernel trajectory.
+    # own accepted alpha must reproduce the kernel trajectory.  The oracle
+    # MUST run on the host CPU: computed on the TPU itself, its f32
+    # default-precision matmuls and linalg solves drift 2-10% from the
+    # true solution (measured), which would swamp the kernel's error.
+    cpu = jax.devices("cpu")[0]
     for lane in range(0, B, 17):
         Xw = X_b[lane].at[0].set(xs_b[lane])
-        blocks = kkt.build_qp_gn(
-            m, cost, Xw, U_b[lane], goals_b[lane], dt,
-            wrench_world=w_b[lane],
-        )
-        sol = riccati.solve(blocks, jnp.zeros(12), scfg.rho)
+        with jax.default_device(cpu):
+            blocks = kkt.build_qp_gn(
+                m, cost, Xw, U_b[lane], goals_b[lane], dt,
+                wrench_world=w_b[lane],
+            )
+            sol = riccati.solve(blocks, jnp.zeros(12), scfg.rho)
         alpha = float(res.stats.alphas[lane, 0])
         X_exp = np.asarray(Xw + alpha * sol.X)
         U_exp = np.asarray(U_b[lane] + alpha * sol.U)
