@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import CostConfig, SQPConfig
 from ...models.robot import RobotModel
 from .. import lane_rbd as LR
-from ..lane_sqp import _matmul, _matTmul, _matTvec, _matvec
+from ..lane_sqp import _csum, _matvec
 
 NX, NQ, NU = 12, 6, 6
 
@@ -144,7 +144,7 @@ def _linearize_knot(sm, cfg, dt, x, u, w, goal):
     qvec = jnp.concatenate(
         [jnp.stack(gp), jnp.stack([twodQ * v[i] for i in range(NQ)])]
     )
-    # J rows stored a-major: row a*6+i = J[a][i] (matches _Q_from_J).
+    # J rows stored a-major: row a*6+i = J[a][i] (matches _q_cols).
     Jrows = jnp.stack([cols[i][a] for a in range(3) for i in range(NQ)])
     scale2 = jnp.stack([twodQ, twoR])
     v2 = sum(v[i] * v[i] for i in range(NQ))
@@ -182,38 +182,24 @@ def _cost_knot(sm, cfg, goal, x):
     return qvec, jnp.stack([twodQ, twoR]), Jrows, base_cost
 
 
-def _Q_from_J(Jrows, twodQ, qmod_static):
-    """12x12 GN Hessian nested list from J rows (18, T)."""
-    J = [[Jrows[a * NQ + i] for i in range(NQ)] for a in range(3)]
-    Q = [[0.0] * NX for _ in range(NX)]
-    for i in range(NQ):
-        for j in range(i, NQ):
-            v = 2.0 * qmod_static * sum(J[a][i] * J[a][j] for a in range(3))
-            Q[i][j] = v
-            Q[j][i] = v
-    for i in range(NQ):
-        Q[NQ + i][NQ + i] = twodQ
-    return Q
-
-
-def _A_from_da(da_flat, dt):
-    """Dense A nested list from stored da rows (72, T)."""
+def _A_from_dtda(dtda_flat, dt):
+    """Dense A nested list from stored dt*da rows (72, T)."""
     A = [[0.0] * NX for _ in range(NX)]
     for i in range(NQ):
         A[i][i] = 1.0
         A[i][NQ + i] = dt
     for i in range(NQ):
         for j in range(NX):
-            A[NQ + i][j] = dt * da_flat[i * NX + j]
+            A[NQ + i][j] = dtda_flat[i * NX + j]
         A[NQ + i][NQ + i] = A[NQ + i][NQ + i] + 1.0
     return A
 
 
-def _B_from_minv(minv_flat, dt):
+def _B_from_dtminv(dtminv_flat):
     B = [[0.0] * NU for _ in range(NX)]
     for i in range(NQ):
         for j in range(NU):
-            B[NQ + i][j] = dt * minv_flat[i * NU + j]
+            B[NQ + i][j] = dtminv_flat[i * NU + j]
     return B
 
 
@@ -273,8 +259,10 @@ def _sqp_kernel(
             da, minv, xnext, qvec, scale2, Jrows, bc_k = _linearize_knot(
                 sm, cost_cfg, dt, x, u, w, goal
             )
-            da_scr[k] = jnp.concatenate(da)                    # (72, T)
-            minv_scr[k] = jnp.stack(
+            # Stored PRESCALED by dt: downstream only ever uses dt*da
+            # (A bottom rows) and dt*M^-1 (B bottom rows).
+            da_scr[k] = dt * jnp.concatenate(da)               # (72, T)
+            minv_scr[k] = dt * jnp.stack(
                 [minv[i][j] for i in range(NU) for j in range(NU)]
             )
             d = xnext - Xo_ref[k + 1]
@@ -304,75 +292,155 @@ def _sqp_kernel(
         if stages < 2:  # profiling cut: linearize only
             continue
 
-        # ---- Stage 2: Riccati backward sweep ----
+        # ---- Stage 2: Riccati backward sweep (column-stacked) ----
+        # All 12x12 products run as (12, T) sublane-wide FMAs over COLUMN
+        # stacks (column j of M = a (12, T) array whose sublane i is
+        # M[i][j]) instead of per-entry (T,) scalar chains — ~6x fewer
+        # issued VPU ops for the same FLOPs.  S is stored column-major in
+        # S_scr (sublane block j*12 = column j); A never materializes:
+        # A = I + [0 dtI; dt*da] is applied through its structure.
+        # S MUST be re-symmetrized every step: the backward recursion
+        # amplifies the asymmetric f32 noise of A^T S A by ~||A||^2 per
+        # knot, which at N=64 on stiff warm-started problems grows from
+        # roundoff to O(||S||) and destabilizes the closed loop
+        # (observed: torque blow-up -> NaN after ~300 ticks).  The Qxu K
+        # term is therefore computed in the bit-symmetric LDL form
+        # -Y^T D^-1 Y, and the A^T S A + Q part gets an explicit
+        # 0.5 (M + M^T) through a (12, 12, T) sublane transpose.
         QN = cost_cfg.QN
-        S = _Q_from_J(_rows(J_scr[N - 1], 18), sc_scr[N - 1, 0], QN)
-        s_vec = [QN * qv_scr[N - 1, i] for i in range(NQ)] + [
-            qv_scr[N - 1, i] for i in range(NQ, NX)
-        ]
-        S_scr[...] = _stackT(
-            [S[i][j] for i in range(NX) for j in range(NX)] + s_vec, T, dtype
-        )
+        row12 = jax.lax.broadcasted_iota(jnp.int32, (NX, T), 0)
+        zeros6T = jnp.zeros((NQ, T), dtype)
+
+        def _vshift6(col):
+            """out[i] = col[i-6] for i >= 6 else 0 (the dt I block of A^T)."""
+            return jnp.concatenate([zeros6T, col[:NQ]])
+
+        def _q_cols(Jr, twodQ, qmod_static):
+            """GN cost Hessian as 12 column stacks from J rows (18, T)."""
+            Jst = [Jr[a * NQ : (a + 1) * NQ] for a in range(3)]  # (6, T)
+            cols = []
+            for j in range(NQ):
+                qtop = _csum(
+                    Jst[a] * (2.0 * qmod_static * Jr[a * NQ + j])[None, :]
+                    for a in range(3)
+                )
+                cols.append(jnp.concatenate([qtop, zeros6T]))
+            for j in range(NQ, NX):
+                cols.append(
+                    jnp.where(row12 == j, twodQ[None, :], 0.0).astype(dtype)
+                )
+            return cols
+
+        # Terminal boundary: S = Q_N (columns), s = [QN q_pos; q_vel].
+        S0_cols = _q_cols(J_scr[N - 1], sc_scr[N - 1, 0], QN)
+        qvT = qv_scr[N - 1]
+        s0 = jnp.concatenate([QN * qvT[:NQ], qvT[NQ:]])
+        S_scr[...] = jnp.concatenate(S0_cols + [s0])
 
         def bwd_body(kk, _):
             k = Nm1 - 1 - kk
             Sf = S_scr[...]
-            S = [[Sf[i * NX + j] for j in range(NX)] for i in range(NX)]
-            s_vec = [Sf[NX * NX + i] for i in range(NX)]
-            A = _A_from_da(_rows(da_scr[k], 72), dt)
-            B = _B_from_minv(_rows(minv_scr[k], 36), dt)
-            d = _rows(d_scr[k], NX)
-            Q = _Q_from_J(_rows(J_scr[k], 18), sc_scr[k, 0], 1.0)
-            qv = _rows(qv_scr[k], NX)
+            S_col = [Sf[j * NX : (j + 1) * NX] for j in range(NX)]
+            s_col = Sf[NX * NX : NX * NX + NX]
+            dtda = da_scr[k]    # (72, T): row u*12+j = dt * da[u][j]
+            Wmv = minv_scr[k]   # (36, T): row u*6+j = dt * Minv[u][j]
+            dvec = d_scr[k]
+            qv = qv_scr[k]
+            twodQ = sc_scr[k, 0]
             twoR = sc_scr[k, 1]
-            r = [twoR * Uo_ref[k, i] for i in range(NU)]
+            Prow = [dtda[u * NX : (u + 1) * NX] for u in range(NQ)]
 
-            Sc = _matvec(S, d, NX, NX)
-            Sc = [Sc[i] + s_vec[i] for i in range(NX)]
-            SA = _matmul(S, A, NX, NX, NX)
-            SB = _matmul(S, B, NX, NX, NU)
-            Qxx = _matTmul(A, SA, NX, NX, NX)
-            Qxx = [
-                [Qxx[i][j] + Q[i][j] for j in range(NX)] for i in range(NX)
-            ]
-            Quu = [list(row) for row in _matTmul(B, SB, NU, NX, NU)]
-            for i in range(NU):
-                Quu[i][i] = Quu[i][i] + twoR + rho
-            Qxu = _matTmul(A, SB, NX, NX, NU)
-            qx = _matTvec(A, Sc, NX, NX)
-            qx = [qx[i] + qv[i] for i in range(NX)]
-            qu = _matTvec(B, Sc, NU, NX)
-            qu = [qu[i] + r[i] for i in range(NU)]
+            def At_apply(col):
+                """(A^T M) column from an (12, T) M column."""
+                out = col + dt * _vshift6(col)
+                for t in range(NQ):
+                    out = out + Prow[t] * col[NQ + t][None, :]
+                return out
 
-            fac = LR.chol6(Quu)
-            Kl = [[None] * NX for _ in range(NU)]
+            # SA = S A, column by column (A's structure folded in).
+            SA = []
             for j in range(NX):
-                col = LR.chol6_solve(fac, [Qxu[j][i] for i in range(NU)])
-                for i in range(NU):
-                    Kl[i][j] = -col[i]
+                c = S_col[j] if j < NQ else S_col[j] + dt * S_col[j - NQ]
+                for u in range(NQ):
+                    c = c + S_col[NQ + u] * dtda[u * NX + j][None, :]
+                SA.append(c)
+            # Qxx = A^T S A + Q.
+            Qcols = _q_cols(J_scr[k], twodQ, 1.0)
+            Qxx = [At_apply(SA[j]) + Qcols[j] for j in range(NX)]
+
+            # SB = S B (B = [0; dt M^-1]) and Qxu = A^T S B.
+            SB = []
+            for j in range(NU):
+                c = _csum(
+                    S_col[NQ + u] * Wmv[u * NU + j][None, :]
+                    for u in range(NQ)
+                )
+                SB.append(c)
+            Qxu = [At_apply(SB[j]) for j in range(NU)]
+
+            # Quu = B^T S B + (2R + rho) I — scalar entries for the LDL^T.
+            # Lower triangle only (that is all chol6 reads).
+            Quu = [[None] * NU for _ in range(NU)]
+            for i in range(NU):
+                for j in range(i + 1):
+                    v = _csum(
+                        Wmv[t * NU + i] * SB[j][NQ + t] for t in range(NQ)
+                    )
+                    Quu[i][j] = v + (twoR + rho if i == j else 0.0)
+                    Quu[j][i] = Quu[i][j]
+            fac = LR.chol6(Quu)
+            Lc, _, invD = fac
+
+            # K = -Quu^-1 Qxu^T: ONE substitution pass with the 12 state
+            # dims stacked in sublanes (rhs component t = Qxu column t).
+            y6 = [None] * NU
+            for i in range(NU):
+                s_ = Qxu[i]
+                for k2 in range(i):
+                    s_ = s_ - Lc[i][k2][None, :] * y6[k2]
+                y6[i] = s_
+            Kst = [None] * NU
+            for i in range(NU - 1, -1, -1):
+                s_ = y6[i] * invD[i][None, :]
+                for k2 in range(i + 1, NU):
+                    s_ = s_ + Lc[k2][i][None, :] * Kst[k2]
+                Kst[i] = -s_
+            # Kst[t] sublane j = K[t][j]; K_scr row t*12+j = K[t][j]
+            # (same layout the forward rollout reads).
+            K_scr[k] = jnp.concatenate(Kst)
+
+            # Sc = S d + s; qx = A^T Sc + qv; qu = B^T Sc + 2R u.
+            Sc = _csum(
+                S_col[t] * dvec[t][None, :] for t in range(NX)
+            ) + s_col
+            qx = At_apply(Sc) + qv
+            qu = [
+                _csum(Wmv[u * NU + t] * Sc[NQ + u] for u in range(NQ))
+                + twoR * Uo_ref[k, t]
+                for t in range(NU)
+            ]
             kff_l = LR.chol6_solve(fac, qu)
             kff = [-kff_l[i] for i in range(NU)]
-
-            QxuK = _matmul(Qxu, Kl, NX, NU, NX)
-            S_new = [
-                [
-                    0.5 * (Qxx[i][j] + QxuK[i][j] + Qxx[j][i] + QxuK[j][i])
-                    for j in range(NX)
-                ]
-                for i in range(NX)
-            ]
-            s_new = [
-                qx[i] + sum(Qxu[i][t] * kff[t] for t in range(NU))
-                for i in range(NX)
-            ]
-            K_scr[k] = _stackT(
-                [Kl[i][j] for i in range(NU) for j in range(NX)], T, dtype
-            )
             kff_scr[k] = _stackT(kff, T, dtype)
-            S_scr[...] = _stackT(
-                [S_new[i][j] for i in range(NX) for j in range(NX)] + s_new,
-                T, dtype,
+
+            # S_new = sym(Qxx + Qxu K); s_new = qx + Qxu kff.  The explicit
+            # 0.5 (M + M^T) is what keeps the recursion stable (see the
+            # stage comment); the transpose is one (12, 12, T) sublane
+            # relayout per knot.
+            S_new = [
+                Qxx[j]
+                + _csum(Qxu[t] * Kst[t][j][None, :] for t in range(NU))
+                for j in range(NX)
+            ]
+            s_new = qx + _csum(
+                Qxu[t] * kff[t][None, :] for t in range(NU)
             )
+            Sn = jnp.concatenate(S_new)  # (144, T)
+            SnT = jnp.swapaxes(
+                Sn.reshape(NX, NX, T), 0, 1
+            ).reshape(NX * NX, T)
+            Ssym = 0.5 * (Sn + SnT)
+            S_scr[...] = jnp.concatenate([Ssym, s_new])
             return 0
 
         jax.lax.fori_loop(0, Nm1, bwd_body, 0)
@@ -389,8 +457,8 @@ def _sqp_kernel(
             Kl = [[Kf[i * NX + j] for j in range(NX)] for i in range(NU)]
             du = _matvec(Kl, dx, NU, NX)
             du = [du[i] + kff_scr[k, i] for i in range(NU)]
-            A = _A_from_da(_rows(da_scr[k], 72), dt)
-            B = _B_from_minv(_rows(minv_scr[k], 36), dt)
+            A = _A_from_dtda(_rows(da_scr[k], 72), dt)
+            B = _B_from_dtminv(_rows(minv_scr[k], 36))
             dxn = _matvec(A, dx, NX, NX)
             Bu = _matvec(B, du, NX, NU)
             d = d_scr[k]
