@@ -78,7 +78,7 @@ def _linearize_knot(sm, cfg, dt, x, u, w, goal):
     byproduct of the cost evaluation that lets the line search fold only
     the 8 nonzero alpha candidates.
     """
-    T = x.shape[-1]
+    trail = x.shape[1:]  # (T,) per-knot, or (Nm1, T) with knots folded
     dtype = x.dtype
     q = _rows(x, NQ)
     v = [x[NQ + i] for i in range(NQ)]
@@ -96,22 +96,24 @@ def _linearize_knot(sm, cfg, dt, x, u, w, goal):
             minv[i][j] = col[i]
 
     # Folded tangent pass: d RNEA(q, v, a*; f_ext(q)) for 12 directions at
-    # once — components are (12, T), the leading axis indexing tangents.
-    prim = tuple(_bc(x[c][None, :], (NX, T)) for c in range(NX))
+    # once — components are (12,) + trail, the leading axis indexing
+    # tangents.
+    tshape = (NX,) + trail
+    prim = tuple(_bc(x[c][None], tshape) for c in range(NX))
     # Basis tangents via iota comparison (array literals can't be captured
     # inside a pallas kernel body).
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (NX, T), 0)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, tshape, 0)
     tang = tuple(
         (row_id == c).astype(dtype) for c in range(NX)
     )
-    a_star = [_bc(a[i][None, :], (NX, T)) for i in range(NQ)]
+    a_star = [_bc(a[i][None], tshape) for i in range(NQ)]
 
     def tau_of(xin):
         q_ = list(xin[:NQ])
         v_ = list(xin[NQ:])
         fe_ = None
         if wr is not None:
-            wb = [_bc(wr[i][None, :], (NX, T)) for i in range(6)]
+            wb = [_bc(wr[i][None], tshape) for i in range(6)]
             fe_ = LR.world_wrench_to_ee(sm, q_, wb)
         return tuple(LR.rnea(sm, q_, v_, a_star, f_ext_ee=fe_))
 
@@ -247,42 +249,43 @@ def _sqp_kernel(
     done = jnp.zeros((T,), jnp.bool_)
 
     for it in range(sqp_cfg.max_iters):
-        # ---- Stage 1: linearize + cost data, knot loop ----
-        # Accumulates the alpha=0 merit (cost, violation) as a byproduct:
-        # the base defect is exactly d_scr, the base cost reuses the FK
-        # already evaluated for the GN blocks.
-        def lin_body(k, acc):
-            bcost, bcv = acc
-            x = Xo_ref[k]
-            u = Uo_ref[k]
-            goal = [goals_ref[k, i] for i in range(3)]
-            da, minv, xnext, qvec, scale2, Jrows, bc_k = _linearize_knot(
-                sm, cost_cfg, dt, x, u, w, goal
-            )
-            # Stored PRESCALED by dt: downstream only ever uses dt*da
-            # (A bottom rows) and dt*M^-1 (B bottom rows).
-            da_scr[k] = dt * jnp.concatenate(da)               # (72, T)
-            minv_scr[k] = dt * jnp.stack(
-                [minv[i][j] for i in range(NU) for j in range(NU)]
-            )
-            d = xnext - Xo_ref[k + 1]
-            d_scr[k] = d
-            qv_scr[k] = qvec
-            sc_scr[k] = scale2
-            J_scr[k] = Jrows
-            dq2 = sum(d[i] * d[i] for i in range(NQ))
-            dv2 = sum(d[NQ + i] * d[NQ + i] for i in range(NQ))
-            cv_k = LR.fast_sqrt(dq2) + LR.fast_sqrt(dv2)
-            return (bcost + bc_k, bcv + cv_k)
-
-        zeroT = jnp.zeros((T,), dtype)
-        base_cost, base_cv = jax.lax.fori_loop(
-            0, Nm1, lin_body, (zeroT, zeroT)
+        # ---- Stage 1: linearize + cost data, all knots folded ----
+        # The knot axis is data-parallel, so the whole horizon linearizes
+        # in one (12, N-1, T) elementwise pass (one RNEA primal + one
+        # 12-tangent JVP for every knot at once).  Also accumulates the
+        # alpha=0 merit as a byproduct: the base defect is exactly d_scr,
+        # the base cost reuses the FK already evaluated for the GN blocks.
+        Xf0 = Xo_ref[...]                       # (N, 12, T)
+        xk1 = jnp.swapaxes(Xf0[:Nm1], 0, 1)     # (12, Nm1, T)
+        uk1 = jnp.swapaxes(Uo_ref[...], 0, 1)   # (6, Nm1, T)
+        wk1 = None if w is None else w[:, None, :]
+        Gf0 = goals_ref[...]
+        goal1 = [Gf0[:Nm1, i] for i in range(3)]
+        da, minv, xnext, qvec, scale2, Jrows, bc_k = _linearize_knot(
+            sm, cost_cfg, dt, xk1, uk1, wk1, goal1
+        )
+        # Stored PRESCALED by dt: downstream only ever uses dt*da
+        # (A bottom rows) and dt*M^-1 (B bottom rows).
+        da_scr[...] = dt * jnp.swapaxes(jnp.concatenate(da), 0, 1)
+        minv_scr[...] = dt * jnp.swapaxes(
+            jnp.stack([minv[i][j] for i in range(NU) for j in range(NU)]),
+            0, 1,
+        )
+        d = xnext - jnp.swapaxes(Xf0[1:], 0, 1)  # (12, Nm1, T)
+        d_scr[...] = jnp.swapaxes(d, 0, 1)
+        qv_scr[0:Nm1] = jnp.swapaxes(qvec, 0, 1)
+        sc_scr[0:Nm1] = jnp.swapaxes(scale2, 0, 1)
+        J_scr[0:Nm1] = jnp.swapaxes(Jrows, 0, 1)
+        dq2 = sum(d[i] * d[i] for i in range(NQ))
+        dv2 = sum(d[NQ + i] * d[NQ + i] for i in range(NQ))
+        base_cost = jnp.sum(bc_k, axis=0)
+        base_cv = jnp.sum(
+            LR.fast_sqrt(dq2) + LR.fast_sqrt(dv2), axis=0
         )
         # Terminal knot cost data.
-        goal_T = [goals_ref[N - 1, i] for i in range(3)]
+        goal_T = [Gf0[N - 1, i] for i in range(3)]
         qvec_T, scale2_T, Jrows_T, bc_T = _cost_knot(
-            sm, cost_cfg, goal_T, Xo_ref[N - 1]
+            sm, cost_cfg, goal_T, Xf0[N - 1]
         )
         qv_scr[N - 1] = qvec_T
         sc_scr[N - 1] = scale2_T
@@ -474,7 +477,11 @@ def _sqp_kernel(
             continue
 
         # ---- Stage 4: folded 8-candidate merit line search ----
-        # (the alpha=0 base merit was accumulated in stage 1)
+        # (the alpha=0 base merit was accumulated in stage 1.)  Knots stay
+        # a sequential fori_loop here: the fully (alphas x knots)-folded
+        # variant measured ~2x SLOWER (111 vs 57 us) — the swapaxes
+        # relayouts into (8, N-1, T) candidate tensors cost more than the
+        # wider ops save.
         def merit_knot_cost(xc, goal, qmod):
             # xc: (num_alphas, ...) candidate fold per component list
             q = xc[:NQ]
@@ -537,24 +544,16 @@ def _sqp_kernel(
         take = jnp.logical_and(~done, alpha > 0.0)
         scale = jnp.where(take, alpha, 0.0)
 
-        # Step norm over the full delta.
-        def norm_body(k, acc):
-            dx = dX_scr[k]
-            du = dU_scr[k]
-            return acc + jnp.sum(dx * dx, axis=0) + jnp.sum(du * du, axis=0)
-
-        nrm2 = jax.lax.fori_loop(0, Nm1, norm_body, jnp.zeros((T,), dtype))
-        nrm2 = nrm2 + jnp.sum(dX_scr[N - 1] * dX_scr[N - 1], axis=0)
+        # Step norm over the full delta; masked whole-array update.
+        dXf = dX_scr[...]
+        dUf = dU_scr[...]
+        nrm2 = jnp.sum(dXf * dXf, axis=(0, 1)) + jnp.sum(
+            dUf * dUf, axis=(0, 1)
+        )
         step_norm = scale * LR.fast_sqrt(nrm2)
 
-        # Apply the masked update.
-        def upd_body(k, _):
-            Xo_ref[k] = Xo_ref[k] + scale[None, :] * dX_scr[k]
-            Uo_ref[k] = Uo_ref[k] + scale[None, :] * dU_scr[k]
-            return 0
-
-        jax.lax.fori_loop(0, Nm1, upd_body, 0)
-        Xo_ref[N - 1] = Xo_ref[N - 1] + scale[None, :] * dX_scr[N - 1]
+        Xo_ref[...] = Xo_ref[...] + scale[None, None, :] * dXf
+        Uo_ref[...] = Uo_ref[...] + scale[None, None, :] * dUf
 
         alpha_ref[it] = jnp.where(done, 0.0, alpha)
         step_ref[it] = step_norm
@@ -630,6 +629,12 @@ def sqp_solve_pallas(
     out = pl.pallas_call(
         kernel,
         grid=(B // tile,),
+        # The knot-folded stages hold (12, N-1, tile) temporaries; the
+        # default 16 MiB scoped-VMEM cap overflows at N=32/tile=64.
+        # v5e has 128 MiB of physical VMEM; give the kernel headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         in_specs=[
             spec(12), spec(N, 3), spec(N, 12), spec(Nm1, 6), spec(6), spec(1),
         ],
