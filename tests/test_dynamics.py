@@ -26,7 +26,7 @@ from indy7_mpc_tpu.dynamics import (
     rnea,
     world_wrench_to_ee_joint,
 )
-from indy7_mpc_tpu.models import indy7, parse_urdf
+from indy7_mpc_tpu.models import INDY7_URDF, indy7, parse_urdf
 
 Q = jnp.array([0.3, -0.5, 0.7, 0.2, -0.4, 0.6])
 V = jnp.array([0.1, 0.2, -0.3, 0.05, 0.15, -0.25])
@@ -34,9 +34,9 @@ TAU = jnp.array([1.0, -2.0, 0.5, 0.1, -0.3, 0.2])
 
 
 def test_urdf_parser_matches_embedded_params(model64):
-    parsed = parse_urdf(
-        "/root/reference/description/indy7.urdf", dtype=jnp.float64
-    )
+    # The vendored copy of the robot description (self-contained: no
+    # dependency on the reference checkout).
+    parsed = parse_urdf(INDY7_URDF, dtype=jnp.float64)
     for field in [
         "tree_R", "tree_p", "axis", "mass", "com", "I_com",
         "tcp_offset", "effort_limit", "velocity_limit", "q_lower", "q_upper",
