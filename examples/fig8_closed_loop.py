@@ -11,6 +11,12 @@ one lax.scan.  Prints a stats summary comparable with BASELINE.md
 (reference tracking error mean 0.125-0.192 m, solve 5.3-9.0 ms).
 
 Usage: python examples/fig8_closed_loop.py [batch_size] [num_ticks]
+         [--perturbed]
+
+--perturbed runs the ground-truth plant with the standard model mismatch
+(config.PERTURBED_PLANT: seeded ~±4% inertial error, joint friction,
+actuation noise, 5x substeps) — the analog of the reference validating
+against MuJoCo rather than its own linearization model.
 """
 import json
 import os
@@ -29,14 +35,16 @@ def main():
 
     enable_cache()
     from indy7_mpc_tpu.config import (
-        CostConfig, MPCConfig, SampleConfig, SQPConfig,
+        CostConfig, MPCConfig, PERTURBED_PLANT, SampleConfig, SQPConfig,
     )
     from indy7_mpc_tpu.models import indy7
     from indy7_mpc_tpu.mpc import reference, run_sampled_mpc
     from indy7_mpc_tpu.runtime.stats import RunRecorder
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    perturbed = "--perturbed" in sys.argv[1:]
+    B = int(args[0]) if len(args) > 0 else 16
+    ticks = int(args[1]) if len(args) > 1 else 1000
     N, dt = 64, 0.01
 
     model = indy7(dtype=jnp.float32)
@@ -73,6 +81,7 @@ def main():
             model, cost_cfg, sqp_cfg, mpc_cfg, sample_cfg,
             x0, ref[: ticks + N], ticks, f_true, key,
             batch_solve_fn=batch_solve_fn,
+            plant_cfg=PERTURBED_PLANT if perturbed else None,
         )
     )
     t0 = time.time()

@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Reference-length closed-loop recordings with per-tick solve times.
+
+Reproduces the reference's golden-data protocol (gato_controller.py:
+270-295 + stats/): a 3,500-tick (35 s at 100 Hz) figure-8 closed loop per
+batch size B in {1, 16, 32, 64}, recorded in the reference's exact
+six-array .npy schema — but driven tick-by-tick through the runtime path
+(SampledController.on_state), so every tick's ``solve_time_us`` is a real
+host-measured latency (dispatch + B-lane fused-kernel solve + consensus +
+resample), not a wall/ticks average.  That makes the p50/p95/max columns
+directly comparable with the reference's recorded solve_times
+(BASELINE.md rows 1-4).
+
+Each batch size runs twice: against the NOMINAL plant (the controller's
+own model, single RK4) and against the PERTURBED plant (config.
+PERTURBED_PLANT: seeded ~±4% inertial error, joint friction, actuation
+noise, 5x substeps) — the model-mismatch analog of the reference's
+MuJoCo engine.  Run artifacts land in stats_tpu/<tag>/ and a summary
+table in BASELINE_TPU.md.
+
+Usage: python examples/record_runs.py [--ticks 3500] [--batches 1,16,32,64]
+         [--plants nominal,perturbed] [--out stats_tpu]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_ROWS = {
+    # BASELINE.md: solve-time (mean/p50/p95/max us), tracking (mean/p50/p95 m)
+    1: ((5261, 5265, 5868, 6692), (0.192, 0.172, 0.388)),
+    16: ((6376, 6313, 7141, 8388), (0.150, 0.134, 0.296)),
+    32: ((6755, 6738, 7346, 9407), (0.139, 0.137, 0.242)),
+    64: ((8964, 8982, 9681, 15700), (0.125, 0.114, 0.239)),
+}
+
+
+def run_one(model, B, ticks, plant_cfg, out_dir, tag):
+    from indy7_mpc_tpu.config import (
+        CostConfig, MPCConfig, SampleConfig, SQPConfig,
+    )
+    from indy7_mpc_tpu.mpc import reference
+    from indy7_mpc_tpu.runtime import (
+        InProcessPlant, RunRecorder, SampledController, run_control_loop,
+    )
+
+    N, dt = 64, 0.01
+    cost_cfg = CostConfig()
+    sqp_cfg = SQPConfig(max_iters=2)
+    mpc_cfg = MPCConfig(N=N, dt=dt)
+    sample_cfg = SampleConfig(
+        batch_size=B, f_ext_std=20.0, f_ext_resample_std=1.0
+    )
+
+    # Reference run configuration (gato_controller.py:306-341).
+    ref = reference.figure8(
+        A_x=0.5, A_z=0.55, offset=[0.0, 0.4, 0.45], period=10, dt=dt,
+        cycles=10,
+    )
+    ref = reference.with_padding(ref, 200)
+
+    batch_solve_fn = None
+    if jax.devices()[0].platform != "cpu":
+        from indy7_mpc_tpu.solvers import sqp_pallas
+
+        batch_solve_fn = lambda xs, g, X, U, w: sqp_pallas.batch_solve(
+            model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
+            wrench_world_batch=w,
+        )
+
+    t_init0 = time.perf_counter()
+    ctl = SampledController(
+        model, cost_cfg, sqp_cfg, mpc_cfg, sample_cfg, ref,
+        batch_solve_fn=batch_solve_fn,
+        f_ext_actual=[-60.0, 20.0, -40.0],
+    )
+    init_s = time.perf_counter() - t_init0
+    plant = InProcessPlant(model, np.zeros(12), dt, plant_cfg=plant_cfg)
+
+    rec = RunRecorder(out_dir=os.path.join(out_dir, tag), save_interval=1e9)
+    t0 = time.perf_counter()
+    rec = run_control_loop(
+        ctl, plant, duration=1e9, rate_hz=100, recorder=rec,
+        walk_disturbance=True, realtime=False, max_ticks=ticks,
+    )
+    wall = time.perf_counter() - t0
+    stem = rec.save()
+    s = rec.summary()
+    st = np.asarray(rec._data["solve_times"])
+    te = np.asarray(rec._data["tracking_errors"])
+    row = {
+        "tag": tag,
+        "B": B,
+        "ticks": int(len(te)),
+        "init_s": round(init_s, 1),
+        "wall_s": round(wall, 1),
+        "stem": stem,
+        "first_tick_us": float(st[0]),
+        "solve_us": [round(float(f), 1) for f in (
+            st.mean(), np.percentile(st, 50), np.percentile(st, 95),
+            st.max())],
+        "tracking_m": [round(float(f), 4) for f in (
+            te.mean(), np.percentile(te, 50), np.percentile(te, 95))],
+        "finite": bool(np.all(np.isfinite(te))),
+    }
+    print(json.dumps(row))
+    return row
+
+
+def write_summary(rows, ticks, path="BASELINE_TPU.md"):
+    dev = jax.devices()[0].device_kind
+    lines = [
+        "# BASELINE_TPU — recorded closed-loop runs (this framework)",
+        "",
+        f"Produced by `python examples/record_runs.py --ticks {ticks}` on "
+        f"one {dev} chip; committed artifacts under `stats_tpu/` "
+        "(reference six-array schema, gato_controller.py:288-293).",
+        "",
+        "Protocol: figure-8 (A_x=0.5, A_z=0.55, offset [0, 0.4, 0.45], "
+        "period 10 s), N=64, dt=10 ms, true disturbance [-60, 20, -40] N "
+        "walking every 200 steps, B wrench hypotheses (sigma=20, resample "
+        "sigma=1) — the reference's recorded-run configuration "
+        "(gato_controller.py:306-341).  Every tick is a real host "
+        "dispatch through SampledController.on_state, so solve-time "
+        "percentiles are honest per-tick latencies.",
+        "",
+        "`perturbed` rows run the plant with config.PERTURBED_PLANT "
+        "(seeded ~±4% per-link inertial error, viscous+Coulomb joint "
+        "friction, 0.1 N m actuation noise, 5x substeps) — model "
+        "mismatch the controller does not know about, the role MuJoCo "
+        "plays for the reference.",
+        "",
+        "| run | B | ticks | solve us mean/p50/p95/max | ref (us) | "
+        "tracking m mean/p50/p95 | ref (m) | first tick us |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        ref_st, ref_te = REF_ROWS.get(r["B"], ((None,) * 4, (None,) * 3))
+        st = "/".join(f"{v:,.0f}" for v in r["solve_us"])
+        te = "/".join(f"{v:.3f}" for v in r["tracking_m"])
+        rst = "/".join(f"{v:,}" for v in ref_st) if ref_st[0] else "n/a"
+        rte = "/".join(f"{v:.3f}" for v in ref_te) if ref_te[0] else "n/a"
+        lines.append(
+            f"| {r['tag']} | {r['B']} | {r['ticks']} | {st} | {rst} | "
+            f"{te} | {rte} | {r['first_tick_us']:,.0f} |"
+        )
+    lines += [
+        "",
+        "Reference columns: the CUDA solver's recorded 3,500-tick runs "
+        "(stats/{single,16,32,64}, BASELINE.md).  Note the reference "
+        "numbers are measured under MuJoCo model mismatch; compare them "
+        "with the `perturbed` rows for like-for-like conditions.",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ticks", type=int, default=3500)
+    ap.add_argument("--batches", default="1,16,32,64")
+    ap.add_argument("--plants", default="nominal,perturbed")
+    ap.add_argument("--out", default="stats_tpu")
+    args = ap.parse_args()
+
+    from indy7_mpc_tpu.utils.cache import enable_cache
+
+    enable_cache()
+    from indy7_mpc_tpu.config import PERTURBED_PLANT
+    from indy7_mpc_tpu.models import indy7
+
+    model = indy7(dtype=jnp.float32)
+    rows = []
+    for plant_name in args.plants.split(","):
+        plant_cfg = PERTURBED_PLANT if plant_name == "perturbed" else None
+        for B in [int(b) for b in args.batches.split(",")]:
+            tag = f"{plant_name}_b{B}"
+            rows.append(
+                run_one(model, B, args.ticks, plant_cfg, args.out, tag)
+            )
+    write_summary(rows, args.ticks)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,52 @@ class MPCConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class PlantConfig:
+    """Ground-truth plant physics perturbations (model-mismatch validation).
+
+    The reference validates against a *different* engine (MuJoCo, with
+    actuator sensor noise — indy7.xml:62-75 ``noise="0.001"`` — and its
+    own integrator), so its closed-loop numbers are produced under model
+    error.  A plant built from this config deliberately mismatches the
+    controller's model the same way:
+
+      * ``param_scale_pct`` — per-link mass/inertia scaled by a seeded
+        uniform factor in [1-pct, 1+pct] (inertial parameter error);
+      * ``torque_noise_std`` — zero-mean gaussian actuation noise (N m)
+        re-drawn every plant substep;
+      * ``viscous_friction`` / ``coulomb_friction`` — unmodeled joint
+        friction tau_f = -kv v - kc tanh(v / 0.01), applied inside every
+        integrator stage;
+      * ``substeps`` — finer plant integration than the controller's
+        one-RK4-per-tick linearization assumes.
+
+    The same seeded perturbation is implemented bit-identically in the
+    native C++ plant (native/plant/rbd.cpp perturb_model, splitmix64) so
+    external-plant runs validate under the same mismatch.
+    """
+
+    substeps: int = 1
+    param_scale_pct: float = 0.0
+    torque_noise_std: float = 0.0
+    viscous_friction: float = 0.0
+    coulomb_friction: float = 0.0
+    seed: int = 0
+
+
+#: The standard model-mismatch validation plant: ~±4% inertial parameter
+#: error, 0.1 N·m actuation noise, light unmodeled joint friction, and
+#: 5x finer integration than the controller's linearization grid.
+PERTURBED_PLANT = PlantConfig(
+    substeps=5,
+    param_scale_pct=0.04,
+    torque_noise_std=0.1,
+    viscous_friction=0.05,
+    coulomb_friction=0.1,
+    seed=7,
+)
+
+
+@dataclasses.dataclass(frozen=True)
 class SampleConfig:
     """Wrench-hypothesis sampling (reference: gato_controller.py:77-129)."""
 

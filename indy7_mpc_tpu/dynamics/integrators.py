@@ -21,17 +21,40 @@ def split_state(model: RobotModel, x):
     return x[..., : model.nq], x[..., model.nq :]
 
 
-def euler_step(model: RobotModel, x, u, dt, f_ext_ee=None):
+def _friction_torque(v, friction):
+    """Unmodeled joint friction tau_f = -kv v - kc tanh(v / 0.01).
+
+    ``friction`` is (viscous kv, coulomb kc); the tanh smooths the Coulomb
+    sign so the plant dynamics stay C^1 for the integrator.
+    """
+    kv, kc = friction
+    return -kv * v - kc * jnp.tanh(v / 0.01)
+
+
+def euler_step(model: RobotModel, x, u, dt, f_ext_ee=None, friction=None):
     """Explicit Euler: q+ = q + v dt,  v+ = v + a(q, v, u) dt."""
     q, v = split_state(model, x)
-    a = forward_dynamics(model, q, v, u, f_ext_ee=f_ext_ee)
+    ue = u if friction is None else u + _friction_torque(v, friction)
+    a = forward_dynamics(model, q, v, ue, f_ext_ee=f_ext_ee)
     return jnp.concatenate([q + v * dt, v + a * dt], axis=-1)
 
 
-def rk4_step(model: RobotModel, x, u, dt, f_ext_ee=None):
-    """RK4 with the reference's averaged-velocity position update."""
+def rk4_step(model: RobotModel, x, u, dt, f_ext_ee=None, friction=None):
+    """RK4 with the reference's averaged-velocity position update.
+
+    ``friction=(kv, kc)`` adds joint friction inside every stage
+    evaluation (plant-side model mismatch; config.PlantConfig).
+    """
     q, v = split_state(model, x)
-    fd = lambda q_, v_: forward_dynamics(model, q_, v_, u, f_ext_ee=f_ext_ee)
+    if friction is None:
+        fd = lambda q_, v_: forward_dynamics(
+            model, q_, v_, u, f_ext_ee=f_ext_ee
+        )
+    else:
+        fd = lambda q_, v_: forward_dynamics(
+            model, q_, v_, u + _friction_torque(v_, friction),
+            f_ext_ee=f_ext_ee,
+        )
     k1q = v
     k1v = fd(q, v)
     q2 = q + k1q * (dt / 2)

@@ -32,10 +32,10 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import CostConfig, MPCConfig, SampleConfig, SQPConfig
+from ..config import CostConfig, MPCConfig, PlantConfig, SampleConfig, SQPConfig
 from ..dynamics.kinematics import ee_pos
 from ..models.robot import RobotModel
-from ..sim.plant import plant_step, predict_next_states
+from ..sim.plant import make_plant_step, plant_step, predict_next_states
 from ..solvers import sqp as sqp_mod
 
 
@@ -166,6 +166,7 @@ def run_sampled_mpc(
     key,
     f_true_walk: bool = True,
     batch_solve_fn=None,
+    plant_cfg: Optional[PlantConfig] = None,
 ):
     """Pure-JAX closed loop: sampled controller vs. device plant.
 
@@ -174,14 +175,26 @@ def run_sampled_mpc(
       f_true0: (6,) true disturbance wrench applied to the plant.
       f_true_walk: random-walk the true wrench every 200 steps
         (gato_controller.py:236-239).
+      plant_cfg: ground-truth plant perturbations (inertial error,
+        friction, actuation noise, finer substeps) so the loop validates
+        under model mismatch like the reference's MuJoCo plant does
+        (config.PERTURBED_PLANT is the standard setting).  None = the
+        controller's own model, single RK4 per tick.
 
     Returns (final_carry, SampledTrace).
     """
     N, dt = mpc_cfg.N, mpc_cfg.dt
     ref_traj = jnp.asarray(ref_traj, x0.dtype)
+    if plant_cfg is None:
+        plant_fn = lambda x, u, w, k: plant_step(
+            model, x, u, dt, wrench_world=w, substeps=mpc_cfg.sim_substeps
+        )
+    else:
+        _, _step = make_plant_step(model, plant_cfg)
+        plant_fn = lambda x, u, w, k: _step(x, u, w, k, dt)
 
     def tick(carry: SampledLoopCarry, _):
-        key, k_tick, k_walk = jax.random.split(carry.key, 3)
+        key, k_tick, k_walk, k_plant = jax.random.split(carry.key, 4)
         goals = jax.lax.dynamic_slice_in_dim(ref_traj, carry.ref_offset, N, 0)
 
         out = sampled_tick(
@@ -192,10 +205,7 @@ def run_sampled_mpc(
         )
 
         # True-plant step under the true wrench.
-        x_next = plant_step(
-            model, carry.x, out.u, dt,
-            wrench_world=carry.f_true, substeps=mpc_cfg.sim_substeps,
-        )
+        x_next = plant_fn(carry.x, out.u, carry.f_true, k_plant)
 
         # Random-walk the true disturbance (gato_controller.py:236-239).
         walked = carry.f_true.at[:3].set(

@@ -46,6 +46,7 @@ class SampledController:
         seed: int = 42,
         batch_solve_fn: Optional[Callable] = None,
         f_ext_actual=None,
+        warmup: bool = True,
     ):
         self.model = model
         self.mpc_cfg = mpc_cfg
@@ -65,13 +66,47 @@ class SampledController:
         self.x_last = None
         self.u_last = jnp.zeros(model.nu, jnp.float32)
 
-        self._tick = jax.jit(
-            lambda key, x, x_last, u_last, goals, X, U, f: sampled_tick(
+        # The WHOLE control tick is one jitted program (one device
+        # dispatch per tick): split the RNG, slice the goal window at a
+        # traced offset, solve/score/resample.  Keeping the key split and
+        # goal slice inside matters on real deployments where every
+        # host->device call has dispatch latency (the reference pays one
+        # pybind call per tick for the same reason, gato_controller.py:224).
+        max_off = self.ref_traj.shape[0] - N
+
+        def _tick_fn(key, off, x, x_last, u_last, X, U, f):
+            from ..dynamics.kinematics import ee_pos
+
+            k_next, k_tick = jax.random.split(key)
+            goals = jax.lax.dynamic_slice_in_dim(
+                self.ref_traj, jnp.minimum(off, max_off), N, 0
+            )
+            out = sampled_tick(
                 model, cost_cfg, sqp_cfg, sample_cfg, dt,
-                key, x, x_last, u_last, goals, X, U, f,
+                k_tick, x, x_last, u_last, goals, X, U, f,
                 batch_solve_fn=batch_solve_fn,
             )
-        )
+            # EE position + tracking error computed on device so the host
+            # loop needs no extra FK dispatch or transfer per tick.
+            eep = ee_pos(model, x[: model.nq])
+            terr = jnp.linalg.norm(eep - goals[0])
+            return out, goals[0], eep, terr, k_next
+
+        self._tick = jax.jit(_tick_fn)
+        if warmup:
+            # Cold-start throwaway solve from zeros (the reference's
+            # init-time warm-up, gato_controller.py:180-184): pays the jit
+            # compile + device cache fill at construction so the first real
+            # control tick is within ~2x steady state instead of a
+            # watchdog-scale hiccup.  Uses a fixed dummy key and discards
+            # every output — controller state is untouched, so resumed
+            # runs stay bit-identical.
+            z = jnp.zeros(model.nx, jnp.float32)
+            out = self._tick(
+                jax.random.PRNGKey(0), jnp.int32(0), z, z, self.u_last,
+                self.X_best, self.U_best, self.f_batch,
+            )
+            jax.block_until_ready(out)
 
     def goal_window(self) -> jnp.ndarray:
         off = int(self.ref_offset)
@@ -81,20 +116,29 @@ class SampledController:
         )
 
     def on_state(self, x_obs: np.ndarray, elapsed: float):
-        """One control tick; returns (u, info dict)."""
+        """One control tick; returns (u, info dict).
+
+        One device dispatch + one blocking device->host fetch of the
+        small outputs (u, best lane, wrench estimate, current reference);
+        the warm-start trajectory and hypothesis batch stay on device.
+        """
         x = jnp.asarray(x_obs, jnp.float32)
         if self.x_last is None:
             self.x_last = x
         self.ref_offset += elapsed / self.mpc_cfg.dt
-        goals = self.goal_window()
 
-        self.key, k = jax.random.split(self.key)
         t0 = time.perf_counter()
-        out = self._tick(
-            k, x, self.x_last, self.u_last, goals,
+        out, ee_ref, eep, terr, self.key = self._tick(
+            self.key, jnp.int32(int(self.ref_offset)), x,
+            self.x_last, self.u_last,
             self.X_best, self.U_best, self.f_batch,
         )
-        u = np.asarray(out.u)
+        # The tick's ONLY synchronizing transfer: everything the host
+        # needs, fetched in one RPC (per-call sync latency dominates the
+        # device compute on tunneled/remote TPU harnesses).
+        u, best_idx, f_est, ee_ref, eep, terr = jax.device_get(
+            (out.u, out.best_idx, out.f_est, ee_ref, eep, terr)
+        )
         solve_time_us = (time.perf_counter() - t0) * 1e6
 
         self.X_best = out.X_best
@@ -103,12 +147,14 @@ class SampledController:
         self.x_last = x
         self.u_last = out.u
         info = {
-            "best_idx": int(out.best_idx),
-            "f_est": np.asarray(out.f_est),
+            "best_idx": int(best_idx),
+            "f_est": np.asarray(f_est),
             "solve_time_us": solve_time_us,
-            "ee_ref": np.asarray(goals[0]),
+            "ee_ref": np.asarray(ee_ref),
+            "ee_pos": np.asarray(eep),
+            "tracking_error": float(terr),
         }
-        return u, info
+        return np.asarray(u), info
 
     def save_checkpoint(self, path: str) -> str:
         """Persist the controller's full warm-start/estimator state.
@@ -206,12 +252,22 @@ def run_control_loop(
             if w is not None:
                 transport.send_wrench(w)
 
-        tracking_error = float(
-            np.linalg.norm(state.ee_pos - info["ee_ref"])
-        )
+        # Tracking error against the plant-reported EE when the transport
+        # provides one (external plants report their own FK, like the
+        # reference's effort[0:3] side channel); the in-process plant
+        # shares the controller's nominal kinematics, so the tick's
+        # device-computed value is identical and costs no extra transfer.
+        if state.ee_pos is not None:
+            tracking_error = float(
+                np.linalg.norm(state.ee_pos - info["ee_ref"])
+            )
+            ee_rec = state.ee_pos
+        else:
+            tracking_error = info["tracking_error"]
+            ee_rec = info["ee_pos"]
         recorder.record(
-            elapsed, tracking_error, state.ee_pos, info["ee_ref"],
-            state.x[:6], info["solve_time_us"],
+            elapsed, tracking_error, ee_rec, info["ee_ref"],
+            state.x, info["solve_time_us"],
         )
         recorder.maybe_save()
         ticks += 1

@@ -73,11 +73,14 @@ class RunRecorder:
         joint_position,
         solve_time_us: float,
     ) -> None:
+        """Append one tick.  Array arguments may be device arrays: they
+        are stored raw and fetched in ONE bulk transfer at save time, so
+        recording never forces a per-tick device sync."""
         self._data["dts"].append(float(dt))
         self._data["tracking_errors"].append(float(tracking_error))
-        self._data["ee_positions"].append(np.asarray(ee_position, float))
-        self._data["ee_ref_positions"].append(np.asarray(ee_ref_position, float))
-        self._data["joint_positions"].append(np.asarray(joint_position, float))
+        self._data["ee_positions"].append(ee_position)
+        self._data["ee_ref_positions"].append(ee_ref_position)
+        self._data["joint_positions"].append(joint_position)
         self._data["solve_times"].append(float(solve_time_us))
 
     def record_trace(self, trace, dts, solve_times_us) -> None:
@@ -103,11 +106,25 @@ class RunRecorder:
         self._last_save = now
         return self.save()
 
+    def _fetch(self, name) -> np.ndarray:
+        """Materialize one array: a single bulk device_get for any device
+        handles, then stack.  joint_positions recorded as full states
+        (q, v) are sliced to q."""
+        vals = self._data[name]
+        if any(hasattr(v, "devices") for v in vals):
+            import jax
+
+            vals = jax.device_get(vals)
+        arr = np.asarray(vals)
+        if name == "joint_positions" and arr.ndim == 2 and arr.shape[1] == 12:
+            arr = arr[:, :6]
+        return arr
+
     def save(self) -> str:
         os.makedirs(self.out_dir, exist_ok=True)
         stem = os.path.join(self.out_dir, datetime.now().strftime("%H%M%S"))
         for name in self.ARRAYS:
-            np.save(f"{stem}_{name}.npy", np.asarray(self._data[name]))
+            np.save(f"{stem}_{name}.npy", self._fetch(name))
         return stem
 
     def summary(self) -> Dict[str, float]:

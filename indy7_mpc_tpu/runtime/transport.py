@@ -82,38 +82,65 @@ class UdpTransport:
 
 
 class InProcessPlant:
-    """Device-resident plant behind the Transport interface."""
+    """Device-resident plant behind the Transport interface.
 
-    def __init__(self, model, x0, dt: float, substeps: int = 1):
+    ``plant_cfg`` (config.PlantConfig) builds a deliberately mismatched
+    ground-truth plant — seeded inertial error, joint friction, actuation
+    noise, finer substeps — so closed-loop validation does not run against
+    the controller's own model (the role MuJoCo plays for the reference,
+    sim_node.cpp:184-201).
+    """
+
+    def __init__(self, model, x0, dt: float, substeps: int = 1,
+                 plant_cfg=None, noise_seed: int = 123):
         import jax
         import jax.numpy as jnp
 
         from ..dynamics.kinematics import ee_pos
-        from ..sim.plant import plant_step
+        from ..sim.plant import make_plant_step, plant_step
 
         self.model = model
         self.dt = dt
         self.x = jnp.asarray(x0, jnp.float32)
         self.wrench = jnp.zeros(6, jnp.float32)
-        self._step = jax.jit(
-            lambda x, u, w: plant_step(
+        if plant_cfg is None:
+            raw_step = lambda x, u, w, k: plant_step(
                 model, x, u, dt, wrench_world=w, substeps=substeps
             )
-        )
+        else:
+            _, _pstep = make_plant_step(model, plant_cfg)
+            raw_step = lambda x, u, w, k: _pstep(x, u, w, k, dt)
+
+        def _step_fn(x, u, w, key):
+            key, k = jax.random.split(key)
+            return raw_step(x, u, w, k), key
+
+        self._step = jax.jit(_step_fn)
+        self._key = jax.random.PRNGKey(noise_seed)
+        # EE is reported from the NOMINAL kinematics (geometry is exact;
+        # only inertials are perturbed).
         self._ee = jax.jit(lambda x: ee_pos(model, x[: model.nq]))
         self._pending_u = None
+        # Warm-up compile (discarded) so the first real command does not
+        # pay the jit compile mid-loop.
+        jax.block_until_ready(
+            self._step(self.x, jnp.zeros(model.nu, jnp.float32),
+                       self.wrench, self._key)
+        )
 
     def recv_state(self) -> PlantState:
-        return PlantState(
-            x=np.asarray(self.x, float),
-            ee_pos=np.asarray(self._ee(self.x), float),
-            stamp=time.time(),
-        )
+        # Returns the raw device state with ee_pos=None: the controller
+        # computes EE/tracking on device inside its tick, so the loop
+        # never pays a plant-side sync (external transports report their
+        # own ee_pos; see run_control_loop).
+        return PlantState(x=self.x, ee_pos=None, stamp=time.time())
 
     def send_command(self, u) -> None:
         import jax.numpy as jnp
 
-        self.x = self._step(self.x, jnp.asarray(u, jnp.float32), self.wrench)
+        self.x, self._key = self._step(
+            self.x, jnp.asarray(u, jnp.float32), self.wrench, self._key
+        )
 
     def send_wrench(self, force3) -> None:
         import jax.numpy as jnp

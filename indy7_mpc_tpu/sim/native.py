@@ -33,6 +33,10 @@ def _load():
         lib.indy7_forward_dynamics.argtypes = [dp, dp, dp, dp]
         lib.indy7_rnea.argtypes = [dp, dp, dp, ctypes.c_int, dp]
         lib.indy7_rk4_step.argtypes = [dp, dp, ctypes.c_double, dp, dp]
+        lib.indy7_perturbed_rk4_step.argtypes = [
+            dp, dp, ctypes.c_double, dp, ctypes.c_double, ctypes.c_uint64,
+            ctypes.c_double, ctypes.c_double, dp,
+        ]
         _lib = lib
     return _lib
 
@@ -88,6 +92,31 @@ def rk4_step(x, u, dt: float, wrench_world: Optional[np.ndarray] = None):
     out = np.zeros(12)
     lib.indy7_rk4_step(
         xp, up, ctypes.c_double(dt), wp,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
+
+
+def perturbed_rk4_step(
+    x, u, dt: float,
+    wrench_world: Optional[np.ndarray] = None,
+    pct: float = 0.0,
+    seed: int = 0,
+    kv: float = 0.0,
+    kc: float = 0.0,
+):
+    """One step of the mismatched plant (seeded inertial error + joint
+    friction) — parity surface for sim/plant.py perturb_model."""
+    lib = _load()
+    _, xp = _arr(x, 12)
+    _, up = _arr(u, 6)
+    wp = None
+    if wrench_world is not None:
+        _, wp = _arr(wrench_world, 6)
+    out = np.zeros(12)
+    lib.indy7_perturbed_rk4_step(
+        xp, up, ctypes.c_double(dt), wp, ctypes.c_double(pct),
+        ctypes.c_uint64(seed), ctypes.c_double(kv), ctypes.c_double(kc),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out

@@ -13,14 +13,65 @@ and re-mapped to the EE joint frame at the state where the step begins
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from ..config import PlantConfig
 from ..dynamics.integrators import rk4_step
 from ..dynamics.rnea import world_wrench_to_ee_joint
 from ..models.robot import RobotModel
+
+_U64 = (1 << 64) - 1
+
+
+def _splitmix64(z: int) -> int:
+    """splitmix64 output mix for state ``z`` (bit-identical to the C++
+    implementation in native/plant/rbd.cpp perturb_model; the caller
+    advances the state by the golden constant per draw)."""
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _U64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _U64
+    return (z ^ (z >> 31)) & _U64
+
+
+def perturbation_scales(seed: int, n: int) -> np.ndarray:
+    """``n`` deterministic uniform draws in [-1, 1] from splitmix64.
+
+    Shared PRNG with the native plant so a (seed, pct) pair names the
+    same perturbed robot in both engines.
+    """
+    out = np.empty(n)
+    state = seed & _U64
+    for i in range(n):
+        state = (state + 0x9E3779B97F4A7C15) & _U64
+        u = _splitmix64(state) >> 11  # 53 bits
+        out[i] = 2.0 * (u * (2.0 ** -53)) - 1.0
+    return out
+
+
+def perturb_model(model: RobotModel, cfg: PlantConfig) -> RobotModel:
+    """Seeded inertial-parameter error: per-link mass and inertia scaled
+    by independent factors in [1-pct, 1+pct].
+
+    This is the plant-model mismatch the reference gets for free by
+    simulating in a different engine (MuJoCo MJCF inertials vs Pinocchio
+    URDF, sim_node.cpp:184-201); here it is explicit and seeded.
+    """
+    if cfg.param_scale_pct == 0.0:
+        return model
+    nj = model.nj
+    draws = perturbation_scales(cfg.seed, 2 * nj)
+    mass_s = 1.0 + cfg.param_scale_pct * draws[:nj]
+    inertia_s = 1.0 + cfg.param_scale_pct * draws[nj:]
+    return dataclasses.replace(
+        model,
+        mass=model.mass * jnp.asarray(mass_s, model.mass.dtype),
+        I_com=model.I_com
+        * jnp.asarray(inertia_s, model.I_com.dtype)[:, None, None],
+    )
 
 
 def plant_step(
@@ -31,6 +82,9 @@ def plant_step(
     wrench_world: Optional[jnp.ndarray] = None,
     substeps: int = 1,
     clamp_torque: bool = True,
+    friction=None,
+    torque_noise_std: float = 0.0,
+    key=None,
 ):
     """Advance the plant by ``dt`` under constant torque ``u``.
 
@@ -40,20 +94,66 @@ def plant_step(
     Torques are clamped to the actuator effort limits, matching the MuJoCo
     plant's ``ctrlrange`` (description/indy7.xml:52-59).
     Broadcasts over leading batch dims.
+
+    Model-mismatch knobs (config.PlantConfig):
+      * ``friction=(kv, kc)`` — unmodeled joint friction inside every
+        integrator stage;
+      * ``torque_noise_std`` with ``key`` — zero-mean gaussian actuation
+        noise re-drawn per substep (the MJCF actuator-noise analog,
+        indy7.xml:62-75).
     """
     if clamp_torque:
         u = jnp.clip(u, -model.effort_limit, model.effort_limit)
     h = dt / substeps
+    noisy = torque_noise_std > 0.0 and key is not None
 
-    def sub(x, _):
+    def sub(carry, _):
+        x, k = carry
+        us = u
+        if noisy:
+            k, ks = jax.random.split(k)
+            us = u + torque_noise_std * jax.random.normal(
+                ks, u.shape, x.dtype
+            )
         f_l = None
         if wrench_world is not None:
-            f_l = world_wrench_to_ee_joint(model, x[..., : model.nq], wrench_world)
-        return rk4_step(model, x, u, h, f_ext_ee=f_l), None
+            f_l = world_wrench_to_ee_joint(
+                model, x[..., : model.nq], wrench_world
+            )
+        return (rk4_step(model, x, us, h, f_ext_ee=f_l,
+                         friction=friction), k), None
 
+    k0 = key if key is not None else jax.random.PRNGKey(0)
     if substeps == 1:
-        return sub(x, None)[0]
-    return jax.lax.scan(sub, x, None, length=substeps)[0]
+        return sub((x, k0), None)[0][0]
+    return jax.lax.scan(sub, (x, k0), None, length=substeps)[0][0]
+
+
+def make_plant_step(model: RobotModel, cfg: Optional[PlantConfig]):
+    """(plant_model, step_fn) for a PlantConfig.
+
+    ``step_fn(x, u, wrench_world, key)`` advances one control tick under
+    the perturbed model with friction/actuation noise; with ``cfg=None``
+    it is the nominal single-RK4 plant.
+    """
+    if cfg is None:
+        cfg = PlantConfig()
+    pm = perturb_model(model, cfg)
+    friction = None
+    if cfg.viscous_friction or cfg.coulomb_friction:
+        friction = (cfg.viscous_friction, cfg.coulomb_friction)
+
+    def step_fn(x, u, wrench_world, key, dt):
+        return plant_step(
+            pm, x, u, dt,
+            wrench_world=wrench_world,
+            substeps=cfg.substeps,
+            friction=friction,
+            torque_noise_std=cfg.torque_noise_std,
+            key=key,
+        )
+
+    return pm, step_fn
 
 
 def predict_next_states(model: RobotModel, x, u, dt: float, wrench_batch):

@@ -69,4 +69,29 @@ void indy7_rk4_step(const double* x, const double* u, double dt,
   for (int i = 0; i < 12; ++i) x_out[i] = out[i];
 }
 
+// Perturbed-plant step (model-mismatch validation): inertials scaled by
+// the seeded splitmix64 draws (must match sim/plant.py perturb_model
+// exactly) plus joint friction inside every RK4 stage.
+void indy7_perturbed_rk4_step(const double* x, const double* u, double dt,
+                              const double* wrench_or_null, double pct,
+                              unsigned long long seed, double kv, double kc,
+                              double* x_out) {
+  indy7::Model m = indy7::indy7_model();
+  indy7::perturb_model(m, pct, seed);
+  indy7::State xx;
+  indy7::VecJ uu;
+  for (int i = 0; i < 12; ++i) xx[i] = x[i];
+  for (int i = 0; i < 6; ++i) uu[i] = u[i];
+  const indy7::Vec6* fp = nullptr;
+  indy7::Vec6 w{};
+  if (wrench_or_null) {
+    for (int i = 0; i < 6; ++i) w[i] = wrench_or_null[i];
+    fp = &w;
+  }
+  indy7::Friction fric{kv, kc};
+  const indy7::Friction* fq = (kv != 0.0 || kc != 0.0) ? &fric : nullptr;
+  const indy7::State out = indy7::rk4_step(m, xx, uu, dt, fp, fq);
+  for (int i = 0; i < 12; ++i) x_out[i] = out[i];
+}
+
 }  // extern "C"

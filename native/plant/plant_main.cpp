@@ -15,7 +15,13 @@
 //     (mj_applyFT analog, sim_node.cpp:309-325).
 //
 // Usage: plant_node [timestep=0.001] [publish_every=10]
+//                   [--perturb <pct> <seed>] [--friction <kv> <kc>]
+//                   [--noise <std_Nm>]
 //   (timestep 1 ms with publish every 10 steps = 100 Hz state topic).
+// The optional flags build a deliberately mismatched ground-truth plant —
+// seeded inertial error, unmodeled joint friction, gaussian actuation
+// noise per physics step — the role MuJoCo's distinct engine plays for
+// the reference (sim_node.cpp:184-201; indy7.xml:62-75 sensor noise).
 // Wire format: see indy7_mpc_tpu/runtime/transport.py.
 #include <arpa/inet.h>
 #include <netinet/in.h>
@@ -26,6 +32,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <random>
 #include <thread>
 
 #include "rbd.hpp"
@@ -39,10 +46,35 @@ constexpr unsigned char kTagWrench = 3;
 }  // namespace
 
 int main(int argc, char** argv) {
-  double dt = argc > 1 ? std::atof(argv[1]) : 0.001;
-  int publish_every = argc > 2 ? std::atoi(argv[2]) : 10;
+  double dt = 0.001;
+  int publish_every = 10;
+  double perturb_pct = 0.0, noise_std = 0.0;
+  unsigned long long perturb_seed = 0;
+  indy7::Friction friction{};
+  int pos = 0;
+  for (int i = 1; i < argc; ++i) {
+    if (std::strcmp(argv[i], "--perturb") == 0 && i + 2 < argc) {
+      perturb_pct = std::atof(argv[++i]);
+      perturb_seed = std::strtoull(argv[++i], nullptr, 10);
+    } else if (std::strcmp(argv[i], "--friction") == 0 && i + 2 < argc) {
+      friction.kv = std::atof(argv[++i]);
+      friction.kc = std::atof(argv[++i]);
+    } else if (std::strcmp(argv[i], "--noise") == 0 && i + 1 < argc) {
+      noise_std = std::atof(argv[++i]);
+    } else if (pos == 0) {
+      dt = std::atof(argv[i]);
+      ++pos;
+    } else if (pos == 1) {
+      publish_every = std::atoi(argv[i]);
+      ++pos;
+    }
+  }
+  const bool use_friction = friction.kv != 0.0 || friction.kc != 0.0;
+  std::mt19937_64 noise_rng(perturb_seed * 1315423911ULL + 12345ULL);
+  std::normal_distribution<double> gauss(0.0, 1.0);
 
-  const indy7::Model model = indy7::indy7_model();
+  indy7::Model model = indy7::indy7_model();
+  indy7::perturb_model(model, perturb_pct, perturb_seed);
   indy7::State x{};
   const double init_q[6] = {1.5799, 0.0631, -1.1807, 1.0927, -0.6255, -0.0190};
   for (int i = 0; i < 6; ++i) x[i] = init_q[i];
@@ -66,8 +98,11 @@ int main(int argc, char** argv) {
   ctrl_addr.sin_addr.s_addr = inet_addr("127.0.0.1");
   ctrl_addr.sin_port = htons(7460);
 
-  std::printf("plant_node: dt=%g publish_every=%d (state at %g Hz)\n", dt,
-              publish_every, 1.0 / (dt * publish_every));
+  std::printf(
+      "plant_node: dt=%g publish_every=%d (state at %g Hz) "
+      "perturb=%g%%/seed=%llu friction=(%g,%g) noise=%g\n",
+      dt, publish_every, 1.0 / (dt * publish_every), 100.0 * perturb_pct,
+      perturb_seed, friction.kv, friction.kc, noise_std);
 
   using clock = std::chrono::steady_clock;
   auto next = clock::now();
@@ -99,7 +134,12 @@ int main(int argc, char** argv) {
 
     // Physics step (held at the initial pose until the first command).
     if (command_received) {
-      x = indy7::rk4_step(model, x, u, dt, have_wrench ? &wrench : nullptr);
+      indy7::VecJ us = u;
+      if (noise_std > 0.0) {
+        for (int i = 0; i < 6; ++i) us[i] += noise_std * gauss(noise_rng);
+      }
+      x = indy7::rk4_step(model, x, us, dt, have_wrench ? &wrench : nullptr,
+                          use_friction ? &friction : nullptr);
     }
 
     if (step % publish_every == 0) {

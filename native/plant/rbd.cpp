@@ -279,7 +279,7 @@ VecJ forward_dynamics(const Model& m, const VecJ& q, const VecJ& v,
 }
 
 State rk4_step(const Model& m, const State& x, const VecJ& u, double dt,
-               const Vec6* wrench_world) {
+               const Vec6* wrench_world, const Friction* friction) {
   VecJ q, v;
   for (int i = 0; i < NJ; ++i) {
     q[i] = x[i];
@@ -292,6 +292,13 @@ State rk4_step(const Model& m, const State& x, const VecJ& u, double dt,
     fp = &fl;
   }
   auto fd = [&](const VecJ& qq, const VecJ& vv) {
+    if (friction) {
+      VecJ ue;
+      for (int i = 0; i < NJ; ++i)
+        ue[i] = u[i] - friction->kv * vv[i] -
+                friction->kc * std::tanh(vv[i] / 0.01);
+      return forward_dynamics(m, qq, vv, ue, fp);
+    }
     return forward_dynamics(m, qq, vv, u, fp);
   };
   auto axpy = [](const VecJ& a, double s, const VecJ& b) {
@@ -320,6 +327,33 @@ State rk4_step(const Model& m, const State& x, const VecJ& u, double dt,
         v[i] + dt / 6.0 * (k1v[i] + 2 * k2v[i] + 2 * k3v[i] + k4v[i]);
   }
   return out;
+}
+
+namespace {
+unsigned long long splitmix64_out(unsigned long long z) {
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+}  // namespace
+
+void perturb_model(Model& m, double pct, unsigned long long seed) {
+  if (pct == 0.0) return;
+  // Draw order matches sim/plant.py perturbation_scales: NJ mass scales
+  // first, then NJ inertia scales.
+  double draws[2 * NJ];
+  unsigned long long state = seed;
+  for (int i = 0; i < 2 * NJ; ++i) {
+    state += 0x9E3779B97F4A7C15ULL;
+    const unsigned long long u53 = splitmix64_out(state) >> 11;
+    draws[i] = 2.0 * (static_cast<double>(u53) * 0x1.0p-53) - 1.0;
+  }
+  for (int i = 0; i < NJ; ++i) {
+    m.mass[i] *= 1.0 + pct * draws[i];
+    const double s = 1.0 + pct * draws[NJ + i];
+    for (int r = 0; r < 3; ++r)
+      for (int c = 0; c < 3; ++c) m.I_com[i][r][c] *= s;
+  }
 }
 
 }  // namespace indy7

@@ -60,9 +60,23 @@ MatJ crba(const Model& m, const VecJ& q);
 VecJ forward_dynamics(const Model& m, const VecJ& q, const VecJ& v,
                       const VecJ& tau, const Vec6* f_ext_ee);
 
+// Unmodeled joint friction applied inside every integrator stage:
+// tau_f = -kv v - kc tanh(v / 0.01).  Matches the JAX plant's
+// dynamics/integrators.py _friction_torque (model-mismatch validation).
+struct Friction {
+  double kv = 0.0;  // viscous (N m s / rad)
+  double kc = 0.0;  // Coulomb (N m), tanh-smoothed
+};
+
 // RK4 step matching src/utils.py:3-18 (wrench mapped at the start state).
 State rk4_step(const Model& m, const State& x, const VecJ& u, double dt,
-               const Vec6* wrench_world);
+               const Vec6* wrench_world, const Friction* friction = nullptr);
+
+// Seeded inertial-parameter error: per-link mass and inertia scaled by
+// independent uniform factors in [1-pct, 1+pct].  splitmix64-based and
+// bit-identical to indy7_mpc_tpu/sim/plant.py perturbation_scales, so a
+// (seed, pct) pair names the same perturbed robot in both engines.
+void perturb_model(Model& m, double pct, unsigned long long seed);
 
 // The Indy7 model (embedded parameters, description/indy7.urdf).
 Model indy7_model();
