@@ -82,13 +82,16 @@ def measure(B, N, dt=0.01):
     out = solve_chain(xs_b, goals_b, X_w, U_w, wrench_b)
     jax.block_until_ready(out)
 
-    # Single-dispatch latency (one solve per host call — the external-plant
-    # real-time path; includes host->device dispatch).
+    # Blocking single-dispatch latency: block_until_ready EVERY call (the
+    # external-plant real-time tick pays this full host->device->host
+    # round trip; on a tunneled dev chip it is RPC-dominated — see
+    # LATENCY.md).  A pipelined version of this loop measures enqueue
+    # throughput, not tick latency, and was ~25x lower here.
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         X_w, U_w = solve(xs_b, goals_b, X_w, U_w, wrench_b)
-    jax.block_until_ready((X_w, U_w))
+        jax.block_until_ready((X_w, U_w))
     t_dispatch = (time.perf_counter() - t0) / iters
 
     # Throughput: chained back-to-back solves.
@@ -113,8 +116,8 @@ def main():
         sps = B / per_solve_s
         print(
             f"# B={B} N={N}: {per_solve_s * 1e6:.0f} us/solve chained on "
-            f"device, {t_dispatch * 1e6:.0f} us single-dispatch -> "
-            f"{sps:,.0f} solves/s  (2 SQP iters, {kind})",
+            f"device, {t_dispatch * 1e6:.0f} us blocking single-dispatch "
+            f"-> {sps:,.0f} solves/s  (2 SQP iters, {kind})",
             file=sys.stderr,
         )
         if N == 64:

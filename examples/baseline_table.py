@@ -55,11 +55,7 @@ def main():
     sqp_cfg = SQPConfig(max_iters=2)
     mpc_cfg = MPCConfig(N=N, dt=dt)
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu:
-        from indy7_mpc_tpu.solvers import sqp_pallas as solver_mod
-    else:
-        from indy7_mpc_tpu.solvers import sqp as solver_mod
+    from indy7_mpc_tpu.solvers.select import default_batch_solve_fn
 
     ref = reference.figure8(
         A_x=0.5, A_z=0.55, offset=[0.0, 0.4, 0.45], period=10, dt=dt,
@@ -74,10 +70,7 @@ def main():
     for B in (1, 16, 32, 64):
         sample_cfg = SampleConfig(batch_size=B, f_ext_std=20.0,
                                   f_ext_resample_std=1.0)
-        solve_fn = lambda xs, g, X, U, w: solver_mod.batch_solve(
-            model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
-            wrench_world_batch=w,
-        )
+        solve_fn = default_batch_solve_fn(model, cost_cfg, sqp_cfg, dt)
 
         # --- Solve-only latency (the unit the reference's solve_times
         # measure: one full batched SQP solve per control tick).

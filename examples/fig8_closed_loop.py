@@ -62,16 +62,6 @@ def main():
     )
     ref = reference.with_padding(ref, 200)
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    batch_solve_fn = None
-    if on_tpu:
-        from indy7_mpc_tpu.solvers import sqp_pallas
-
-        batch_solve_fn = lambda xs, g, X, U, w: sqp_pallas.batch_solve(
-            model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
-            wrench_world_batch=w,
-        )
-
     x0 = jnp.zeros(12, jnp.float32)
     f_true = jnp.asarray([-60.0, 20.0, -40.0, 0.0, 0.0, 0.0], jnp.float32)
     key = jax.random.PRNGKey(42)
@@ -80,7 +70,6 @@ def main():
         lambda x0, key: run_sampled_mpc(
             model, cost_cfg, sqp_cfg, mpc_cfg, sample_cfg,
             x0, ref[: ticks + N], ticks, f_true, key,
-            batch_solve_fn=batch_solve_fn,
             plant_cfg=PERTURBED_PLANT if perturbed else None,
         )
     )

@@ -44,20 +44,6 @@ def main():
     sqp_cfg = SQPConfig(max_iters=3)
     mpc_cfg = MPCConfig(N=32, dt=0.01)
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    solve_fn = None
-    batch_solve_fn = None
-    if on_tpu:
-        from indy7_mpc_tpu.solvers import sqp_pallas
-
-        solve_fn = sqp_pallas.single_solve_fn(
-            model, cost_cfg, sqp_cfg, mpc_cfg.dt
-        )
-        batch_solve_fn = lambda xs, g, X, U, w: sqp_pallas.batch_solve(
-            model, cost_cfg, sqp_cfg, mpc_cfg.dt, xs, g, X, U,
-            wrench_world_batch=w,
-        )
-
     x0 = jnp.zeros(12, jnp.float32)
     ee0 = np.asarray(ee_pos(model, x0[:6]))
     # FK-derived goal chain (the notebooks sample FK at joint offsets).
@@ -71,7 +57,6 @@ def main():
     final, trace = jax.jit(
         lambda x0: run_mpc(
             model, cost_cfg, sqp_cfg, mpc_cfg, x0, goals, args.steps,
-            solve_fn=solve_fn,
         )
     )(x0)
     jax.block_until_ready(trace.goal_dist)
@@ -102,7 +87,6 @@ def main():
                 lambda x0, key, scfg=scfg: run_sampled_mpc(
                     model, cost_cfg, sqp_cfg, mpc_cfg, scfg,
                     x0, ref, args.steps, f_true, key, f_true_walk=False,
-                    batch_solve_fn=batch_solve_fn,
                 )
             )(x0, key)
             te = np.asarray(tr.tracking_error)

@@ -42,7 +42,37 @@ REF_ROWS = {
 }
 
 
-def run_one(model, B, ticks, plant_cfg, out_dir, tag):
+def spawn_plant_node(plant_cfg, dt, realtime_scale=1.0):
+    """Build (if needed) and launch the native C++ plant process with the
+    mismatch flags matching ``plant_cfg`` — the reference's actual
+    topology: controller and plant in separate OS processes over a lossy
+    latest-wins transport (gato_controller.py:163-167 <->
+    sim_node.cpp:225-237), here UDP instead of DDS."""
+    import subprocess
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    plant_dir = os.path.join(root, "native", "plant")
+    exe = os.path.join(plant_dir, "plant_node")
+    if not os.path.exists(exe):
+        subprocess.run(["make", "-C", plant_dir, "plant_node"], check=True)
+    substeps = plant_cfg.substeps if plant_cfg else 1
+    cmd = [exe, str(dt / substeps), str(substeps)]
+    if realtime_scale != 1.0:
+        cmd += ["--realtime-scale", str(realtime_scale)]
+    if plant_cfg is not None:
+        if plant_cfg.param_scale_pct:
+            cmd += ["--perturb", str(plant_cfg.param_scale_pct),
+                    str(plant_cfg.seed)]
+        if plant_cfg.viscous_friction or plant_cfg.coulomb_friction:
+            cmd += ["--friction", str(plant_cfg.viscous_friction),
+                    str(plant_cfg.coulomb_friction)]
+        if plant_cfg.torque_noise_std:
+            cmd += ["--noise", str(plant_cfg.torque_noise_std)]
+    return subprocess.Popen(cmd, stdout=subprocess.DEVNULL)
+
+
+def run_one(model, B, ticks, plant_cfg, out_dir, tag, transport="inproc",
+            realtime_scale=1.0):
     from indy7_mpc_tpu.config import (
         CostConfig, MPCConfig, SampleConfig, SQPConfig,
     )
@@ -66,30 +96,34 @@ def run_one(model, B, ticks, plant_cfg, out_dir, tag):
     )
     ref = reference.with_padding(ref, 200)
 
-    batch_solve_fn = None
-    if jax.devices()[0].platform != "cpu":
-        from indy7_mpc_tpu.solvers import sqp_pallas
-
-        batch_solve_fn = lambda xs, g, X, U, w: sqp_pallas.batch_solve(
-            model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
-            wrench_world_batch=w,
-        )
-
     t_init0 = time.perf_counter()
     ctl = SampledController(
         model, cost_cfg, sqp_cfg, mpc_cfg, sample_cfg, ref,
-        batch_solve_fn=batch_solve_fn,
         f_ext_actual=[-60.0, 20.0, -40.0],
     )
     init_s = time.perf_counter() - t_init0
-    plant = InProcessPlant(model, np.zeros(12), dt, plant_cfg=plant_cfg)
+    proc = None
+    if transport == "udp":
+        from indy7_mpc_tpu.runtime import UdpTransport
+
+        proc = spawn_plant_node(plant_cfg, dt, realtime_scale)
+        plant = UdpTransport()
+    else:
+        plant = InProcessPlant(model, np.zeros(12), dt, plant_cfg=plant_cfg)
 
     rec = RunRecorder(out_dir=os.path.join(out_dir, tag), save_interval=1e9)
     t0 = time.perf_counter()
-    rec = run_control_loop(
-        ctl, plant, duration=1e9, rate_hz=100, recorder=rec,
-        walk_disturbance=True, realtime=False, max_ticks=ticks,
-    )
+    try:
+        rec = run_control_loop(
+            ctl, plant, duration=1e9, rate_hz=100.0 / realtime_scale,
+            recorder=rec, walk_disturbance=True,
+            realtime=(transport == "udp"), max_ticks=ticks,
+        )
+    finally:
+        plant.close()
+        if proc is not None:
+            proc.terminate()
+            proc.wait(timeout=5)
     wall = time.perf_counter() - t0
     stem = rec.save()
     s = rec.summary()
@@ -170,6 +204,22 @@ def main():
     ap.add_argument("--batches", default="1,16,32,64")
     ap.add_argument("--plants", default="nominal,perturbed")
     ap.add_argument("--out", default="stats_tpu")
+    ap.add_argument(
+        "--transport", default="inproc", choices=("inproc", "udp"),
+        help="udp = native C++ plant_node process over the UDP transport "
+             "(the reference's two-process topology), wall-clock rate",
+    )
+    ap.add_argument(
+        "--realtime-scale", type=float, default=1.0,
+        help="udp mode: run plant time N-times slower than wall clock "
+             "(plant_node --realtime-scale) so the control rate in plant "
+             "time matches the 100 Hz design rate on rigs whose dispatch "
+             "latency exceeds the 10 ms budget (tunneled dev TPU: ~25 ms; "
+             "production: ~0.1 ms).  The controller advances its "
+             "reference by the plant's own sim clock either way.",
+    )
+    ap.add_argument("--no-summary", action="store_true",
+                    help="skip rewriting BASELINE_TPU.md")
     args = ap.parse_args()
 
     from indy7_mpc_tpu.utils.cache import enable_cache
@@ -184,10 +234,15 @@ def main():
         plant_cfg = PERTURBED_PLANT if plant_name == "perturbed" else None
         for B in [int(b) for b in args.batches.split(",")]:
             tag = f"{plant_name}_b{B}"
+            if args.transport == "udp":
+                tag += "_udp"
             rows.append(
-                run_one(model, B, args.ticks, plant_cfg, args.out, tag)
+                run_one(model, B, args.ticks, plant_cfg, args.out, tag,
+                        transport=args.transport,
+                        realtime_scale=args.realtime_scale)
             )
-    write_summary(rows, args.ticks)
+    if not args.no_summary:
+        write_summary(rows, args.ticks)
 
 
 if __name__ == "__main__":

@@ -6,7 +6,12 @@ on a single chip) with per-lane wrench hypotheses and warm-started
 solves.  The reference tops out at a compile-time template of B=256
 (gato_controller.py:53-63); here B is a runtime axis.
 
-Usage: python examples/scale_bench.py [N] [iters]
+Usage: python examples/scale_bench.py [N] [iters] [--mesh]
+
+--mesh runs the SAME sweep through the lane-mesh sharded production path
+(parallel.make_sharded_batch_solve backend="pallas": the fused kernel
+shard_mapped over a 1-D mesh of every visible device) — the deployed
+multi-chip configuration, exercised even on a single chip.
 """
 import json
 import os
@@ -29,13 +34,27 @@ def main():
     from indy7_mpc_tpu.mpc.sampled import init_wrench_batch
     from indy7_mpc_tpu.solvers import sqp_pallas
 
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    use_mesh = "--mesh" in sys.argv[1:]
+    N = int(argv[0]) if len(argv) > 0 else 32
+    iters = int(argv[1]) if len(argv) > 1 else 2
     dt = 0.01
     model = indy7(dtype=jnp.float32)
     cost_cfg = CostConfig()
     sqp_cfg = SQPConfig(max_iters=iters)
     key = jax.random.PRNGKey(42)
+
+    mesh = None
+    if use_mesh:
+        from indy7_mpc_tpu.parallel import (
+            make_lane_mesh, make_sharded_batch_solve,
+        )
+
+        mesh = make_lane_mesh()
+        print(
+            json.dumps({"mesh_devices": len(mesh.devices.flat),
+                        "backend": "pallas-shard_map"}),
+        )
 
     results = []
     for B in (64, 256, 1024, 4096):
@@ -48,12 +67,26 @@ def main():
         X = jnp.zeros((B, N, 12), jnp.float32)
         U = jnp.zeros((B, N - 1, 6), jnp.float32)
 
-        f = jax.jit(
-            lambda xs, g, X, U, w: sqp_pallas.batch_solve(
-                model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
-                wrench_world_batch=w,
+        if use_mesh:
+            f = make_sharded_batch_solve(
+                model, cost_cfg, sqp_cfg, dt, mesh, backend="pallas"
             )
-        )
+            # Commit inputs to the mesh ONCE (the deployed steady state:
+            # warm starts/hypotheses live sharded on device between
+            # ticks).  Passing uncommitted arrays into in_shardings
+            # forces a reshard copy per call — measured 20x at B=4096.
+            from indy7_mpc_tpu.parallel import shard_lanes
+
+            xs, goals, X, U, w = shard_lanes(
+                mesh, (xs, goals, X, U, w)
+            )
+        else:
+            f = jax.jit(
+                lambda xs, g, X, U, w: sqp_pallas.batch_solve(
+                    model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
+                    wrench_world_batch=w,
+                )
+            )
         r = f(xs, goals, X, U, w)
         jax.block_until_ready(r.X)
         reps = max(5, 2000 // max(B // 64, 1))
@@ -77,7 +110,11 @@ def main():
         row["scaling_efficiency_vs_b64"] = round(
             row["solves_per_sec"] / row["B"] / base, 3
         )
-    print(json.dumps({"N": N, "sqp_iters": iters, "sweep": results}))
+    print(json.dumps({
+        "N": N, "sqp_iters": iters,
+        "sharded_mesh": None if mesh is None else len(mesh.devices.flat),
+        "sweep": results,
+    }))
 
 
 if __name__ == "__main__":

@@ -66,17 +66,18 @@ def run_mpc(
       num_steps: control ticks (static).
       wrench_world: optional true disturbance wrench on the plant.
       solve_fn: optional ``(xs, goals, X, U, state) -> SQPResult``
-        single-lane solver override (e.g. the fused Pallas kernel on TPU).
+        single-lane solver override; by default the production solver is
+        auto-selected (fused Pallas kernel on TPU — solvers/select.py).
 
     Returns (final_carry, MPCTrace).
     """
+    from ..solvers.select import default_single_solve_fn
+
     N, dt = mpc_cfg.N, mpc_cfg.dt
     nq, nx, nu = model.nq, model.nx, model.nu
     endpoints = jnp.asarray(endpoints)
     if solve_fn is None:
-        solve_fn = lambda xs, goals, X, U, state: sqp_mod.solve(
-            model, cost_cfg, sqp_cfg, dt, xs, goals, X, U, state
-        )
+        solve_fn = default_single_solve_fn(model, cost_cfg, sqp_cfg, dt)
 
     def tick(carry: MPCCarry, _):
         goal = endpoints[carry.goal_idx]

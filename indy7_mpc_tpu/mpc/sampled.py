@@ -97,19 +97,20 @@ def sampled_tick(
     This mirrors ``GATO_Controller.joint_callback`` (gato_controller.py:
     201-256) minus transport; usable from both the pure-JAX closed loop
     and the external-plant runtime.  ``batch_solve_fn`` lets the sharded
-    path inject a pjit-ed solver.
+    path inject a pjit-ed solver; by default the production solver for
+    the current device is auto-selected (the fused Pallas kernel on TPU,
+    the readable vmap solver on CPU — solvers/select.py).
     """
+    from ..solvers.select import default_batch_solve_fn
+
     B = f_batch.shape[0]
     xs_b = jnp.tile(x_obs, (B, 1))
     X_b = jnp.tile(X_warm.at[0].set(x_obs), (B, 1, 1))
     U_b = jnp.tile(U_warm, (B, 1, 1))
     goals_b = jnp.tile(goals, (B, 1, 1))
 
-    solve = batch_solve_fn or (
-        lambda xs, g, X, U, w: sqp_mod.batch_solve(
-            model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
-            wrench_world_batch=w,
-        )
+    solve = batch_solve_fn or default_batch_solve_fn(
+        model, cost_cfg, sqp_cfg, dt
     )
     res = solve(xs_b, goals_b, X_b, U_b, f_batch)
 

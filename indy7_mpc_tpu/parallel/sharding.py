@@ -47,27 +47,92 @@ def shard_lanes(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
+def _resolve_backend(backend: str, mesh: Mesh) -> str:
+    """'auto' -> the production kernel on TPU meshes, vmap elsewhere."""
+    if backend != "auto":
+        return backend
+    from ..solvers.select import is_tpu_device
+
+    dev = np.asarray(mesh.devices).reshape(-1)[0]
+    return "pallas" if is_tpu_device(dev) else "vmap"
+
+
+def _shard_mapped_kernel_solve(
+    model: RobotModel,
+    cost_cfg: CostConfig,
+    sqp_cfg: SQPConfig,
+    dt: float,
+    mesh: Mesh,
+    interpret: bool = False,
+):
+    """The fused Pallas kernel under the lane mesh.
+
+    ``shard_map`` hands each device its local lane shard; the kernel runs
+    one ``pallas_call`` per device over its own 128-lane tiles (the same
+    compiled program as single-chip — lanes are independent, so the solve
+    itself needs no collectives).  ``interpret=True`` runs the kernel body
+    in pallas interpret mode so the identical sharded program is
+    exercisable on the virtual CPU mesh.
+    """
+    from ..solvers import sqp_pallas
+
+    lane = P(LANE_AXIS)
+
+    def local(xs, g, X, U, w):
+        return sqp_pallas.batch_solve(
+            model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
+            wrench_world_batch=w, interpret=interpret,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(lane, lane, lane, lane, lane),
+        out_specs=lane,
+        # pallas_call's out_shapes carry no varying-mesh-axes metadata;
+        # every output is per-lane by construction.
+        check_vma=False,
+    )
+
+
 def make_sharded_batch_solve(
     model: RobotModel,
     cost_cfg: CostConfig,
     sqp_cfg: SQPConfig,
     dt: float,
     mesh: Mesh,
+    backend: str = "auto",
+    interpret: bool = False,
 ):
     """jit-compiled lane-sharded batched SQP solve.
 
     Returns ``fn(xs_b, goals_b, X_b, U_b, wrench_b) -> SQPResult`` with all
     lane-leading arrays sharded over the mesh.  B must be divisible by the
     mesh size.
+
+    ``backend``: "pallas" shard_maps the fused production kernel over the
+    mesh (each device solves its lane shard in one kernel launch);
+    "vmap" lets XLA partition the readable vmap solver; "auto" picks
+    pallas on TPU meshes and vmap on the CPU rig.
     """
     lanes = lane_sharding(mesh)
+    backend = _resolve_backend(backend, mesh)
+
+    if backend == "pallas":
+        inner = _shard_mapped_kernel_solve(
+            model, cost_cfg, sqp_cfg, dt, mesh, interpret=interpret
+        )
+    elif backend == "vmap":
+        inner = lambda xs, g, X, U, w: sqp_mod.batch_solve(
+            model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
+            wrench_world_batch=w,
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
 
     def fn(xs_b, goals_b, X_b, U_b, wrench_b):
         xs_b = jax.lax.with_sharding_constraint(xs_b, lanes)
-        return sqp_mod.batch_solve(
-            model, cost_cfg, sqp_cfg, dt, xs_b, goals_b, X_b, U_b,
-            wrench_world_batch=wrench_b,
-        )
+        return inner(xs_b, goals_b, X_b, U_b, wrench_b)
 
     return jax.jit(
         fn,
@@ -83,23 +148,42 @@ def make_sharded_sampled_tick(
     sample_cfg: SampleConfig,
     dt: float,
     mesh: Mesh,
+    backend: str = "auto",
+    interpret: bool = False,
 ):
     """Full sampled-MPC control tick with the hypothesis batch sharded.
 
     The B SQP solves and the B one-step predictions are lane-sharded; the
     consensus ``argmin`` is a global cross-device reduction (XLA inserts
     the ICI collective).  Scalars/warm starts are replicated.
+
+    ``backend`` selects the solver under the mesh exactly as in
+    :func:`make_sharded_batch_solve`: "pallas" = the fused production
+    kernel shard_mapped per device (the deployed configuration), "vmap" =
+    XLA-partitioned readable solver, "auto" = pallas on TPU meshes.
     """
     from ..mpc.sampled import sampled_tick
 
     lanes = lane_sharding(mesh)
     repl = replicated(mesh)
+    backend = _resolve_backend(backend, mesh)
+    batch_solve_fn = (
+        _shard_mapped_kernel_solve(
+            model, cost_cfg, sqp_cfg, dt, mesh, interpret=interpret
+        )
+        if backend == "pallas"
+        else lambda xs, g, X, U, w: sqp_mod.batch_solve(
+            model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
+            wrench_world_batch=w,
+        )
+    )
 
     def fn(key, x_obs, x_last, u_last, goals, X_warm, U_warm, f_batch):
         f_batch = jax.lax.with_sharding_constraint(f_batch, lanes)
         res = sampled_tick(
             model, cost_cfg, sqp_cfg, sample_cfg, dt,
             key, x_obs, x_last, u_last, goals, X_warm, U_warm, f_batch,
+            batch_solve_fn=batch_solve_fn,
         )
         # Keep the resampled hypothesis batch lane-sharded so it feeds the
         # next tick directly (otherwise XLA may emit it replicated, which

@@ -231,6 +231,7 @@ def run_control_loop(
     deadline = time.time() + duration
     last_state_time = time.time()
     last_tick = time.time()
+    last_sim_time = None
     while time.time() < deadline and (max_ticks is None or ticks < max_ticks):
         state = transport.recv_state()
         now = time.time()
@@ -241,7 +242,19 @@ def run_control_loop(
                 )
             continue
         last_state_time = now
-        elapsed = now - last_tick
+        # Advance the reference window by PLANT time when the plant
+        # reports its own sim clock (native plant_node protocol v2):
+        # exact under --realtime-scale and immune to transport jitter.
+        # Wall-clock deltas otherwise (the reference's behavior,
+        # gato_controller.py:208-211).
+        if state.sim_time is not None:
+            elapsed = (
+                state.sim_time - last_sim_time
+                if last_sim_time is not None else period
+            )
+            last_sim_time = state.sim_time
+        else:
+            elapsed = now - last_tick
         last_tick = now
 
         u, info = controller.on_state(state.x, elapsed if realtime else period)

@@ -32,7 +32,13 @@ TAG_WRENCH = 3     # controller -> plant: world wrench force (3)
 class PlantState(NamedTuple):
     x: np.ndarray        # (12,) [q, v]
     ee_pos: np.ndarray   # (3,) world EE position from the plant
-    stamp: float
+    stamp: float         # host wall-clock receive time
+    # Plant's own simulation time (s), when the plant reports it (native
+    # plant_node protocol v2, 16th double).  Lets the controller advance
+    # its reference by PLANT time — exact under plant_node
+    # --realtime-scale and immune to transport jitter.  None for plants
+    # that do not report it (plant time == wall time assumed).
+    sim_time: Optional[float] = None
 
 
 class UdpTransport:
@@ -63,8 +69,14 @@ class UdpTransport:
         if data is None or len(data) < 1 + 15 * 8 or data[0] != TAG_STATE:
             return None
         vals = np.frombuffer(data[1:1 + 15 * 8], dtype="<f8")
+        sim_time = None
+        if len(data) >= 1 + 16 * 8:
+            sim_time = float(
+                np.frombuffer(data[1 + 15 * 8:1 + 16 * 8], dtype="<f8")[0]
+            )
         return PlantState(
-            x=vals[:12].copy(), ee_pos=vals[12:15].copy(), stamp=time.time()
+            x=vals[:12].copy(), ee_pos=vals[12:15].copy(),
+            stamp=time.time(), sim_time=sim_time,
         )
 
     def send_command(self, u) -> None:

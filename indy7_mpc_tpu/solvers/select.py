@@ -1,0 +1,77 @@
+"""Production-solver auto-selection.
+
+The reference picks its solver by compile-time template class
+(gato_controller.py:53-63); here the choice is one runtime predicate:
+on TPU hardware the fused Pallas kernel (solvers/sqp_pallas.py) IS the
+production path, everywhere else (CPU test mesh, iterative QP backends,
+the "reference" cost formulation) the readable vmap solver serves.
+
+Every consumer of a batched solve — ``mpc.sampled.sampled_tick``, the
+runtime controller, the sharded tick — resolves its default through
+:func:`default_batch_solve_fn`, so forgetting to inject the fast path can
+no longer silently cost ~40x (round-2 review finding).
+"""
+from __future__ import annotations
+
+import jax
+
+from ..config import CostConfig, SQPConfig
+from ..models.robot import RobotModel
+
+
+def is_tpu_device(device=None) -> bool:
+    """True when ``device`` (default: the default device) is TPU hardware
+    (including tunneled TPU platforms that report a TPU device kind)."""
+    d = device if device is not None else jax.devices()[0]
+    return d.platform in ("tpu", "axon") or "TPU" in d.device_kind.upper()
+
+
+def kernel_supports(cost_cfg: CostConfig, sqp_cfg: SQPConfig) -> bool:
+    """The fused kernel implements the GN formulation with the direct
+    Riccati backend only; other configs fall back to the vmap solver."""
+    return cost_cfg.formulation == "gn" and sqp_cfg.qp_backend == "riccati"
+
+
+def default_batch_solve_fn(
+    model: RobotModel,
+    cost_cfg: CostConfig,
+    sqp_cfg: SQPConfig,
+    dt: float,
+    device=None,
+):
+    """``(xs_b, goals_b, X_b, U_b, wrench_b) -> SQPResult`` on the
+    production solver for the target device."""
+    if is_tpu_device(device) and kernel_supports(cost_cfg, sqp_cfg):
+        from . import sqp_pallas
+
+        return lambda xs, g, X, U, w: sqp_pallas.batch_solve(
+            model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
+            wrench_world_batch=w,
+        )
+    from . import sqp as sqp_mod
+
+    return lambda xs, g, X, U, w: sqp_mod.batch_solve(
+        model, cost_cfg, sqp_cfg, dt, xs, g, X, U,
+        wrench_world_batch=w,
+    )
+
+
+def default_single_solve_fn(
+    model: RobotModel,
+    cost_cfg: CostConfig,
+    sqp_cfg: SQPConfig,
+    dt: float,
+    device=None,
+):
+    """Single-lane ``(xs, goals, X, U, state) -> SQPResult`` counterpart
+    (for run_mpc / run_tracking_mpc); a B=1 lane rides a padded kernel
+    tile on TPU."""
+    if is_tpu_device(device) and kernel_supports(cost_cfg, sqp_cfg):
+        from . import sqp_pallas
+
+        return sqp_pallas.single_solve_fn(model, cost_cfg, sqp_cfg, dt)
+    from . import sqp as sqp_mod
+
+    return lambda xs, goals, X, U, state=None: sqp_mod.solve(
+        model, cost_cfg, sqp_cfg, dt, xs, goals, X, U, state=state
+    )

@@ -1,12 +1,20 @@
-"""Lane-major batched SQP solver — the TPU production path.
+"""Lane-major batched SQP solver — the fused kernel's READABLE TWIN.
 
-Drop-in replacement for :func:`solvers.sqp.batch_solve` (Gauss-Newton
-formulation), built on the structure-of-arrays engine in ops/lane_rbd.py /
-ops/lane_sqp.py.  Same semantics: fixed iteration count with per-lane
-masked updates, 8-alpha merit line search (osqp_sqp.py:49-93), per-lane
-Levenberg rho state (the reference's resetRho analog,
-gato_controller.py:131-138).  Numerical parity with the readable path is
-enforced by tests/test_lane_sqp.py.
+This is the same lane-major structure-of-arrays algorithm that
+ops/pallas/sqp_kernel.py fuses into one TPU kernel, expressed as ordinary
+traceable JAX on the shared engine (ops/lane_rbd.py / ops/lane_sqp.py).
+It exists to keep the kernel debuggable and testable anywhere: it runs on
+CPU (no Mosaic), it is differentiable/inspectable op by op, and
+tests/test_lane_sqp.py pins its numerics against the readable vmap
+solver — so kernel bugs bisect to either "the shared lane-major math"
+(reproducible here) or "the pallas packaging" (kernel-only).
+
+Production dispatch never selects this module (solvers/select.py picks
+sqp_pallas on TPU, solvers/sqp elsewhere); it is a test/debug artifact
+with the same API as both.  Same semantics: fixed iteration count with
+per-lane masked updates, 8-alpha merit line search (osqp_sqp.py:49-93),
+per-lane Levenberg rho state (the reference's resetRho analog,
+gato_controller.py:131-138).
 """
 from __future__ import annotations
 

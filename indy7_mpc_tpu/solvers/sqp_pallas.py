@@ -56,12 +56,15 @@ def batch_solve(
     state: Optional[SolverState] = None,
     wrench_world_batch=None,
     tile: Optional[int] = None,
+    interpret: bool = False,
 ) -> SQPResult:
     """Lane-batched SQP solve on the fused TPU kernel.
 
     xs_b: (B, 12), goals_b: (B, N, 3), X_b: (B, N, 12), U_b: (B, N-1, 6),
     wrench_world_batch: (B, 6) or None.  B must be a multiple of ``tile``
-    (default: min(B, 128)).
+    (default: min(B, 128)).  ``interpret=True`` runs the kernel body in
+    pallas interpret mode (CPU rig — lets the sharded production path be
+    exercised on the virtual multi-device mesh without TPU hardware).
     """
     if cost_cfg.formulation != "gn":
         raise ValueError("pallas solver implements the 'gn' formulation only")
@@ -101,6 +104,7 @@ def batch_solve(
         ),
         rho_b=rho_b,
         tile=tile,
+        interpret=interpret,
     )
     return SQPResult(
         X=jnp.transpose(X, (2, 0, 1))[:B],

@@ -16,8 +16,14 @@
 //
 // Usage: plant_node [timestep=0.001] [publish_every=10]
 //                   [--perturb <pct> <seed>] [--friction <kv> <kc>]
-//                   [--noise <std_Nm>]
+//                   [--noise <std_Nm>] [--realtime-scale <s>]
 //   (timestep 1 ms with publish every 10 steps = 100 Hz state topic).
+// --realtime-scale s > 1 runs plant time s-times slower than wall clock
+// (sleep dt*s per physics dt).  The state packet carries the plant's own
+// sim time, so a controller advancing its reference by sim-time deltas
+// stays rate-consistent — the standard HIL trick when the compute rig
+// adds latency the target deployment does not have (here: ~25 ms
+// tunneled-TPU dispatch vs ~0.1 ms on-prem).
 // The optional flags build a deliberately mismatched ground-truth plant —
 // seeded inertial error, unmodeled joint friction, gaussian actuation
 // noise per physics step — the role MuJoCo's distinct engine plays for
@@ -48,7 +54,7 @@ constexpr unsigned char kTagWrench = 3;
 int main(int argc, char** argv) {
   double dt = 0.001;
   int publish_every = 10;
-  double perturb_pct = 0.0, noise_std = 0.0;
+  double perturb_pct = 0.0, noise_std = 0.0, realtime_scale = 1.0;
   unsigned long long perturb_seed = 0;
   indy7::Friction friction{};
   int pos = 0;
@@ -61,6 +67,9 @@ int main(int argc, char** argv) {
       friction.kc = std::atof(argv[++i]);
     } else if (std::strcmp(argv[i], "--noise") == 0 && i + 1 < argc) {
       noise_std = std::atof(argv[++i]);
+    } else if (std::strcmp(argv[i], "--realtime-scale") == 0 &&
+               i + 1 < argc) {
+      realtime_scale = std::atof(argv[++i]);
     } else if (pos == 0) {
       dt = std::atof(argv[i]);
       ++pos;
@@ -146,17 +155,22 @@ int main(int argc, char** argv) {
       indy7::VecJ q;
       for (int i = 0; i < 6; ++i) q[i] = x[i];
       const indy7::Vec3 ee = indy7::ee_position(model, q);
-      unsigned char out[1 + 15 * 8];
+      // 16th double: the plant's own sim time (seconds) so the
+      // controller can advance its reference window by PLANT time —
+      // immune to --realtime-scale and wall-clock jitter.
+      const double sim_time = static_cast<double>(step) * dt;
+      unsigned char out[1 + 16 * 8];
       out[0] = kTagState;
       std::memcpy(out + 1, x.data(), 12 * 8);
       std::memcpy(out + 1 + 12 * 8, ee.data(), 3 * 8);
+      std::memcpy(out + 1 + 15 * 8, &sim_time, 8);
       sendto(sock, out, sizeof(out), 0, (sockaddr*)&ctrl_addr,
              sizeof(ctrl_addr));
     }
     ++step;
 
     next += std::chrono::duration_cast<clock::duration>(
-        std::chrono::duration<double>(dt));
+        std::chrono::duration<double>(dt * realtime_scale));
     std::this_thread::sleep_until(next);
   }
   close(sock);

@@ -53,3 +53,26 @@ def model32():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(42)
+
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native", "plant")
+
+
+@pytest.fixture(scope="session")
+def native_build():
+    """Build the native C++ plant (shared lib + plant_node) once per
+    session so the C++<->JAX parity and UDP e2e tests RUN instead of
+    silently skipping on a fresh checkout (round-2 review finding: the
+    parity guarantee was unenforced because binaries are untracked)."""
+    import subprocess
+
+    lib = os.path.join(_NATIVE_DIR, "libindy7plant.so")
+    exe = os.path.join(_NATIVE_DIR, "plant_node")
+    if not (os.path.exists(lib) and os.path.exists(exe)):
+        r = subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-j4"],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"native build failed: {r.stderr[-400:]}")
+    return _NATIVE_DIR

@@ -100,6 +100,7 @@ def test_admm_batched_lanes(rng):
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sqp_with_admm_backend_matches_riccati(model64, rng):
     """Full SQP solve with the ADMM backend on the real robot: accepted
     steps and final merit within the inexact-QP slack of the Riccati

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # f64 parity sweep: heavy CPU compiles (see pytest.ini)
+
 from indy7_mpc_tpu.config import CostConfig, SQPConfig
 from indy7_mpc_tpu.models import indy7
 from indy7_mpc_tpu.ops import kkt, lane_rbd as LR, lane_sqp as LS, riccati

@@ -22,6 +22,7 @@ COST = CostConfig()
 SQP = SQPConfig(max_iters=2)
 
 
+@pytest.mark.slow
 def test_point_to_goal_progress(model64):
     m = model64
     mpc_cfg = MPCConfig(N=16, dt=0.01)

@@ -8,9 +8,10 @@ import pytest
 
 from indy7_mpc_tpu.sim import native
 
-pytestmark = pytest.mark.skipif(
-    not native.available(), reason="native plant library not built"
-)
+
+@pytest.fixture(autouse=True)
+def _built(native_build):
+    """Build-on-demand: the parity tests always run (conftest fixture)."""
 
 
 @pytest.fixture(scope="module")

@@ -87,6 +87,7 @@ def test_pcg_real_robot_blocks(model64, rng):
                                    rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sqp_with_pcg_backend_matches_riccati(model64, rng):
     """Full SQP solve with the PCG backend: same accepted steps and a
     final merit within the inexact-QP slack of the Riccati backend; the

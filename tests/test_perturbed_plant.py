@@ -56,13 +56,10 @@ def test_perturbed_model_differs_but_stays_physical(model64):
         assert np.all(np.linalg.eigvalsh(I) > 0)
 
 
-def test_native_perturbed_step_parity(model64):
+def test_native_perturbed_step_parity(model64, native_build):
     """C++ perturb_model + friction RK4 must match the JAX plant exactly
     (shared splitmix64 draws; same friction law in every stage)."""
     from indy7_mpc_tpu.sim import native
-
-    if not native.available():
-        pytest.skip("libindy7plant.so not built")
     pm = perturb_model(model64, CFG)
     xj = plant_step(
         pm, jnp.asarray(X0), jnp.asarray(U0), 0.01,

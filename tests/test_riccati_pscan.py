@@ -63,6 +63,7 @@ def test_pscan_batched_lanes_jit(rng):
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sqp_pscan_backend_matches_riccati_backend(model64, rng):
     """The SQP outer loop must be backend-invariant between the sequential
     and parallel-scan exact solvers (identical QP, f64)."""

@@ -71,10 +71,7 @@ def test_in_process_loop(model32, tmp_path):
     assert len(set(lens.values())) == 1 and min(lens.values()) > 5
 
 
-@pytest.mark.skipif(
-    not os.path.exists(PLANT_BIN), reason="native plant_node not built"
-)
-def test_udp_loop_against_native_plant(model32, tmp_path):
+def test_udp_loop_against_native_plant(model32, tmp_path, native_build):
     model = model32
     proc = subprocess.Popen(
         [PLANT_BIN, "0.002", "5"],  # 500 Hz physics, 100 Hz state

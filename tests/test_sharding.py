@@ -43,6 +43,7 @@ def _problem(model, B, N=8, dt=0.01):
     )
 
 
+@pytest.mark.slow
 def test_sharded_batch_solve_matches_local(model64):
     m = model64
     cost_cfg, sqp_cfg = CostConfig(), SQPConfig(max_iters=2)
@@ -69,6 +70,7 @@ def test_sharded_batch_solve_matches_local(model64):
     assert len(sharded.X.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_sampled_tick_matches_local(model64):
     m = model64
     cost_cfg = CostConfig()

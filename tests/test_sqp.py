@@ -6,6 +6,7 @@ straight-line control flow against which the jitted masked-control-flow
 implementation must agree exactly.
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,6 +66,7 @@ def _setup(model, N=12, dt=0.01):
     return xs, goals, X, U
 
 
+@pytest.mark.slow
 def test_sqp_matches_oracle(model64):
     m = model64
     # Reference formulation: the oracle below re-states osqp_sqp.py's loop
@@ -84,6 +86,7 @@ def test_sqp_matches_oracle(model64):
     np.testing.assert_allclose(np.asarray(res.U), Uo, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sqp_reduces_tracking_cost(model64):
     m = model64
     cost_cfg = CostConfig()
@@ -137,6 +140,7 @@ def test_batch_solve_lane_determinism(model64):
     )
 
 
+@pytest.mark.slow
 def test_batch_solve_wrench_hypotheses_differ(model64):
     """Different wrench hypotheses must produce different lane solutions."""
     m = model64
