@@ -133,11 +133,16 @@ class InProcessPlant:
         # only inertials are perturbed).
         self._ee = jax.jit(lambda x: ee_pos(model, x[: model.nq]))
         self._pending_u = None
-        # Warm-up compile (discarded) so the first real command does not
-        # pay the jit compile mid-loop.
+        # Warm-up compiles (discarded) so no jit compile fires mid-loop:
+        # the step itself AND the wrench-update scatter (send_wrench's
+        # .at[:3].set compiles on first use — observed as a ~100 ms
+        # stall at the first disturbance-walk tick, tools/latency_decomp).
         jax.block_until_ready(
             self._step(self.x, jnp.zeros(model.nu, jnp.float32),
                        self.wrench, self._key)
+        )
+        jax.block_until_ready(
+            self.wrench.at[:3].set(jnp.zeros(3, jnp.float32))
         )
 
     def recv_state(self) -> PlantState:
