@@ -2,6 +2,7 @@ import os
 
 from .robot import RobotModel, indy7
 from .urdf import parse_urdf
+from .mjcf import indy7_mjcf, mjcf_meta, parse_mjcf
 
 #: Vendored robot description (copied from the reference's
 #: description/indy7.urdf:1-369 and indy7.xml:1-77 — physical robot data,
@@ -23,7 +24,10 @@ __all__ = [
     "RobotModel",
     "indy7",
     "indy7_from_urdf",
+    "indy7_mjcf",
     "parse_urdf",
+    "parse_mjcf",
+    "mjcf_meta",
     "INDY7_URDF",
     "INDY7_MJCF",
     "DESCRIPTION_DIR",

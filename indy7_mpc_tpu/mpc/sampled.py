@@ -168,6 +168,7 @@ def run_sampled_mpc(
     f_true_walk: bool = True,
     batch_solve_fn=None,
     plant_cfg: Optional[PlantConfig] = None,
+    plant_model: Optional[RobotModel] = None,
 ):
     """Pure-JAX closed loop: sampled controller vs. device plant.
 
@@ -181,17 +182,22 @@ def run_sampled_mpc(
         under model mismatch like the reference's MuJoCo plant does
         (config.PERTURBED_PLANT is the standard setting).  None = the
         controller's own model, single RK4 per tick.
+      plant_model: optional DISTINCT robot model for the ground-truth
+        plant (e.g. ``models.indy7_mjcf()`` — the vendored MJCF
+        description, mirroring the reference's URDF-controller vs
+        MJCF-MuJoCo split).  None = the controller's model.
 
     Returns (final_carry, SampledTrace).
     """
     N, dt = mpc_cfg.N, mpc_cfg.dt
+    pm = model if plant_model is None else plant_model
     ref_traj = jnp.asarray(ref_traj, x0.dtype)
     if plant_cfg is None:
         plant_fn = lambda x, u, w, k: plant_step(
-            model, x, u, dt, wrench_world=w, substeps=mpc_cfg.sim_substeps
+            pm, x, u, dt, wrench_world=w, substeps=mpc_cfg.sim_substeps
         )
     else:
-        _, _step = make_plant_step(model, plant_cfg)
+        _, _step = make_plant_step(pm, plant_cfg)
         plant_fn = lambda x, u, w, k: _step(x, u, w, k, dt)
 
     def tick(carry: SampledLoopCarry, _):

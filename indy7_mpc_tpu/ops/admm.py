@@ -53,6 +53,10 @@ class ADMMSolution(NamedTuple):
     iterations: jnp.ndarray  # () ADMM iterations used
     r_prim: jnp.ndarray      # () final ||A z - b||_inf
     r_dual: jnp.ndarray      # () final ||P z + g + A' y||_inf
+    # Full interleaved primal iterate (N, nx+nu) — feed back as ``z0``
+    # (with ``y`` as ``y0``) to warm-start the next related solve, the
+    # OSQP object-reuse pattern (osqp_solver.py:137-143).
+    z: Optional[jnp.ndarray] = None
 
 
 def _blockdiag_P(blocks: QPBlocks, rho):
@@ -279,4 +283,5 @@ def solve(
         iterations=iters,
         r_prim=rp.astype(dtype),
         r_dual=rd.astype(dtype),
+        z=z,
     )

@@ -28,9 +28,19 @@ from ..ops import admm, kkt, pcg, riccati, riccati_pscan
 
 
 class SolverState(NamedTuple):
-    """Per-lane solver state carried across ticks (reference: rho/lambda)."""
+    """Per-lane solver state carried across ticks (reference: rho/lambda).
+
+    Under ``qp_backend="admm"`` the state also carries the ADMM primal
+    iterate and constraint multipliers, mirroring OSQP's warm-start
+    design (the reference reuses one OSQP object across SQP iterations
+    and ticks so x/z/y persist, osqp_solver.py:39-41, 137-143; its
+    ``resetLambda`` analog is simply dropping this state,
+    gato_controller.py:131-138).  ``None`` for the direct backends.
+    """
 
     rho: jnp.ndarray  # () per lane
+    admm_z: Optional[jnp.ndarray] = None  # (N, nx+nu) primal iterate
+    admm_y: Optional[jnp.ndarray] = None  # (N, nx) constraint duals
 
     @staticmethod
     def init(cfg: SQPConfig, batch_shape=()):
@@ -97,6 +107,11 @@ def solve(
     iterative = sqp_cfg.qp_backend in ("pcg", "admm")
     pcg_log = jnp.zeros(sqp_cfg.max_iters, jnp.int32) if iterative else None
 
+    # ADMM warm-start surface: primal/dual iterates persist across SQP
+    # iterations AND across calls via SolverState (OSQP's object reuse,
+    # osqp_solver.py:137-143).  Python-level cell; the loop is static.
+    admm_warm = {"z": state.admm_z, "y": state.admm_y}
+
     def qp_solve(blocks, x_init):
         if sqp_cfg.qp_backend == "pcg":
             sol = pcg.solve(
@@ -115,7 +130,10 @@ def solve(
                 eps_abs=sqp_cfg.admm_eps,
                 eps_rel=sqp_cfg.admm_eps,
                 max_iters=sqp_cfg.admm_max_iters,
+                z0=admm_warm["z"],
+                y0=admm_warm["y"],
             )
+            admm_warm["z"], admm_warm["y"] = sol.z, sol.y
             return sol.X, sol.U, sol.iterations
         if sqp_cfg.qp_backend == "riccati_pscan":
             sol = riccati_pscan.solve_pscan(blocks, x_init, rho)
@@ -186,7 +204,11 @@ def solve(
     return SQPResult(
         X=X,
         U=U,
-        state=SolverState(rho=rho.astype(state.rho.dtype)),
+        state=SolverState(
+            rho=rho.astype(state.rho.dtype),
+            admm_z=admm_warm["z"],
+            admm_y=admm_warm["y"],
+        ),
         stats=SQPStats(
             iterations=iters,
             step_sizes=step_sizes,

@@ -134,3 +134,36 @@ def test_sqp_with_admm_backend_matches_riccati(model64, rng):
     assert ma <= mr * 1.05 + 1e-6
     np.testing.assert_allclose(np.asarray(res_a.X), np.asarray(res_r.X),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_sqp_admm_state_warm_start_reduces_iterations(model64, rng):
+    """SolverState carries the ADMM primal/dual iterates across solves
+    (OSQP's object-reuse warm start, osqp_solver.py:137-143): re-solving
+    a slightly-moved problem from the returned state must cost fewer
+    ADMM iterations than a cold start, and reach the same solution."""
+    from indy7_mpc_tpu.config import SQPConfig
+    from indy7_mpc_tpu.solvers import sqp as sqp_mod
+
+    m = model64
+    N, dt = 6, 0.01
+    cost_cfg = CostConfig()
+    goals = jnp.tile(jnp.asarray([0.3, 0.2, 0.6]), (N, 1))
+    xs = jnp.asarray(rng.normal(size=12) * 0.1)
+    X = jnp.tile(xs, (N, 1))
+    U = jnp.zeros((N - 1, 6))
+    cfg = SQPConfig(max_iters=1, qp_backend="admm", admm_eps=1e-8,
+                    admm_max_iters=4000)
+
+    res1 = sqp_mod.solve(m, cost_cfg, cfg, dt, xs, goals, X, U)
+    assert res1.state.admm_z is not None and res1.state.admm_y is not None
+
+    # Receding-horizon style next tick: state moved slightly.
+    xs2 = xs + 1e-3
+    cold = sqp_mod.solve(m, cost_cfg, cfg, dt, xs2, goals, res1.X, res1.U)
+    warm = sqp_mod.solve(m, cost_cfg, cfg, dt, xs2, goals, res1.X, res1.U,
+                         state=res1.state)
+    it_cold = int(cold.stats.pcg_iters[0])
+    it_warm = int(warm.stats.pcg_iters[0])
+    assert it_warm < it_cold, (it_warm, it_cold)
+    np.testing.assert_allclose(np.asarray(warm.X), np.asarray(cold.X),
+                               rtol=1e-4, atol=1e-6)
