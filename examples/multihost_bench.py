@@ -6,14 +6,23 @@ cross-host cost reduction".  One controller process per host; the lane
 axis shards over every device of every process and the consensus argmin
 runs as a global collective (parallel/distributed.py).
 
+The measured program is the full CLOSED LOOP at the production
+configuration (N=64, 2 SQP iterations, fig-8 reference, random-walking
+true disturbance): controller tick + device plant + reference advance,
+``--chunk`` ticks per dispatch inside one ``lax.scan``
+(parallel/sharding.py make_sharded_sampled_loop).  The loop carry —
+including the lane-sharded hypothesis batch — stays device-resident
+across ticks; nothing per-tick is assembled host-side (VERDICT r3 #1).
+
 Two ways to run:
 
 * Hardware-free rig (this machine, virtual CPU devices, gloo):
-      python examples/multihost_bench.py --procs 2 --devices-per-proc 4 \
-          --B 64 --N 8 --ticks 3
+      python examples/multihost_bench.py --procs 2 --devices-per-proc 1 \
+          --B 256 --ticks 500 --efficiency
   The launcher spawns one worker copy of itself per process and prints a
   JSON line from worker 0, plus a scaling-efficiency line comparing
-  against a single-process run of the same global problem.
+  against a single-process run of the same global problem on the same
+  total device count.
 
 * Real pod slice (one copy per host):
       python examples/multihost_bench.py --worker --coordinator host0:8476 \
@@ -46,58 +55,88 @@ def worker(args) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from indy7_mpc_tpu.config import CostConfig, SampleConfig, SQPConfig
+    from indy7_mpc_tpu.config import (
+        CostConfig, MPCConfig, SampleConfig, SQPConfig,
+    )
     from indy7_mpc_tpu.models import indy7
-    from indy7_mpc_tpu.mpc.sampled import init_wrench_batch
-    from indy7_mpc_tpu.parallel import make_sharded_sampled_tick
+    from indy7_mpc_tpu.mpc import reference
+    from indy7_mpc_tpu.mpc.sampled import SampledLoopCarry, init_loop_carry
+    from indy7_mpc_tpu.parallel import make_sharded_sampled_loop
 
     B, N, dt = args.B, args.N, 0.01
     dtype = jnp.float32
     model = indy7(dtype=dtype)
     cost_cfg = CostConfig()
     sqp_cfg = SQPConfig(max_iters=args.sqp_iters)
-    sample_cfg = SampleConfig(batch_size=B, f_ext_std=10.0,
+    sample_cfg = SampleConfig(batch_size=B, f_ext_std=20.0,
                               f_ext_resample_std=1.0)
+    mpc_cfg = MPCConfig(N=N, dt=dt)
+
+    # The reference's recorded-run protocol (gato_controller.py:306-341).
+    ref = reference.figure8(
+        A_x=0.5, A_z=0.55, offset=[0.0, 0.4, 0.45], period=10, dt=dt,
+        cycles=max(1, (args.ticks + N) // 1000 + 1),
+    )
+    ref = np.asarray(reference.with_padding(ref, 200), np.float32)
 
     mesh = dist.global_lane_mesh()
-    tick = make_sharded_sampled_tick(
-        model, cost_cfg, sqp_cfg, sample_cfg, dt, mesh
+    chunk = max(1, min(args.chunk, args.ticks))
+    loop, _ = make_sharded_sampled_loop(
+        model, cost_cfg, sqp_cfg, mpc_cfg, sample_cfg, mesh,
+        jnp.asarray(ref), chunk,
     )
 
-    key = jax.random.PRNGKey(42)
-    f_full = np.asarray(init_wrench_batch(key, sample_cfg, dtype))
-    f_batch = dist.global_lanes(mesh, f_full)
+    # Cold-start carry: identical host values in every process (seeded),
+    # then placed ONCE as global arrays — f_batch lane-sharded, the rest
+    # replicated.  After this, the carry never leaves the devices.
+    c0 = init_loop_carry(
+        model, mpc_cfg, sample_cfg,
+        jnp.zeros(12, dtype),
+        jnp.asarray([-60.0, 20.0, -40.0, 0, 0, 0], dtype),
+        jax.random.PRNGKey(42),
+    )
+    rep = lambda v: dist.replicated_global(mesh, np.asarray(v))
+    carry = SampledLoopCarry(
+        x=rep(c0.x), x_last=rep(c0.x_last), u_last=rep(c0.u_last),
+        X_best=rep(c0.X_best), U_best=rep(c0.U_best),
+        f_batch=dist.global_lanes(mesh, np.asarray(c0.f_batch)),
+        f_true=rep(c0.f_true), key=rep(c0.key), ref_offset=rep(c0.ref_offset),
+    )
 
-    rep = lambda v: dist.replicated_global(mesh, np.asarray(v, np.float32))
-    x0 = rep(np.zeros(12))
-    u0 = rep(np.zeros(6))
-    goals = rep(np.tile([0.3, 0.2, 0.6], (N, 1)))
-    X = rep(np.zeros((N, 12)))
-    U = rep(np.zeros((N - 1, 6)))
-    keyg = dist.replicated_global(mesh, np.asarray(key))
+    t_c0 = time.perf_counter()
+    carry, trace = loop(carry)      # compile + first chunk
+    jax.block_until_ready(carry)
+    compile_s = time.perf_counter() - t_c0
 
-    out = tick(keyg, x0, x0, u0, goals, X, U, f_batch)   # compile + warmup
-    jax.block_until_ready(out)
-
+    n_chunks = max(1, args.ticks // chunk)
     t0 = time.perf_counter()
-    for _ in range(args.ticks):
-        out = tick(keyg, x0, x0, u0, goals, X, U, out.f_batch)
-    jax.block_until_ready(out)
+    last_trace = trace
+    for _ in range(n_chunks):
+        carry, last_trace = loop(carry)
+    jax.block_until_ready(carry)
     elapsed = time.perf_counter() - t0
+    ticks_measured = n_chunks * chunk
 
     if jax.process_index() == 0:
-        per_tick = elapsed / args.ticks
+        per_tick = elapsed / ticks_measured
+        te = dist.fetch_replicated(last_trace.tracking_error)
         print(json.dumps({
             "procs": args.procs,
             "devices": len(jax.devices()),
             "B": B,
             "N": N,
+            "sqp_iters": args.sqp_iters,
+            "ticks": ticks_measured,
+            "chunk": chunk,
+            "compile_s": round(compile_s, 1),
             "tick_s": round(per_tick, 6),
             "solves_per_sec": round(B / per_tick, 1),
-            "best_idx": int(dist.fetch_replicated(out.best_idx)),
-            "u": [round(float(v), 6) for v in dist.fetch_replicated(out.u)],
+            "tracking_last_chunk_mean_m": round(float(np.mean(te)), 4),
+            "best_idx": int(dist.fetch_replicated(last_trace.best_idx)[-1]),
+            "u": [round(float(v), 6)
+                  for v in dist.fetch_replicated(last_trace.u)[-1]],
             "f_est": [round(float(v), 5)
-                      for v in dist.fetch_replicated(out.f_est)],
+                      for v in dist.fetch_replicated(last_trace.f_est)[-1]],
         }), flush=True)
 
 
@@ -111,6 +150,7 @@ def launch(args) -> None:
             "--procs", str(procs), "--devices-per-proc", str(dpp),
             "--B", str(args.B), "--N", str(args.N),
             "--ticks", str(args.ticks), "--sqp-iters", str(args.sqp_iters),
+            "--chunk", str(args.chunk),
         ]
         env = dict(os.environ)
         env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
@@ -140,6 +180,10 @@ def launch(args) -> None:
         eff = multi["solves_per_sec"] / max(single["solves_per_sec"], 1e-9)
         print(json.dumps({
             "metric": "multiproc_scaling_efficiency",
+            "procs": args.procs,
+            "devices": total_dev,
+            "B": args.B, "N": args.N, "sqp_iters": args.sqp_iters,
+            "ticks": args.ticks, "chunk": args.chunk,
             "value": round(eff, 3),
             "single_proc_solves_per_sec": single["solves_per_sec"],
             "multi_proc_solves_per_sec": multi["solves_per_sec"],
@@ -153,13 +197,17 @@ def main():
     ap.add_argument("--coordinator", default="localhost:8476")
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--proc-id", type=int, default=0)
-    ap.add_argument("--devices-per-proc", type=int, default=4)
-    ap.add_argument("--B", type=int, default=64)
-    ap.add_argument("--N", type=int, default=8)
-    ap.add_argument("--ticks", type=int, default=3)
-    ap.add_argument("--sqp-iters", type=int, default=1)
+    ap.add_argument("--devices-per-proc", type=int, default=1)
+    # Production configuration (the reference's recorded-run shape with
+    # the ensemble widened past one host: BASELINE.md north star).
+    ap.add_argument("--B", type=int, default=256)
+    ap.add_argument("--N", type=int, default=64)
+    ap.add_argument("--ticks", type=int, default=500)
+    ap.add_argument("--sqp-iters", type=int, default=2)
+    ap.add_argument("--chunk", type=int, default=10,
+                    help="closed-loop ticks per dispatch (one lax.scan)")
     ap.add_argument("--port", type=int, default=8476)
-    ap.add_argument("--timeout", type=float, default=900.0)
+    ap.add_argument("--timeout", type=float, default=7200.0)
     ap.add_argument("--efficiency", action="store_true",
                     help="also run single-process and report efficiency")
     args = ap.parse_args()

@@ -71,6 +71,96 @@ def spawn_plant_node(plant_cfg, dt, realtime_scale=1.0):
     return subprocess.Popen(cmd, stdout=subprocess.DEVNULL)
 
 
+def run_device_resident(model, B, ticks, plant_cfg, out_dir, tag,
+                        chunk=100):
+    """Device-resident recording: the ENTIRE closed loop (B-lane solve +
+    consensus + resample + perturbed plant + reference advance) runs as
+    jitted ``lax.scan`` chunks on the chip — the pure-JAX north-star mode
+    (SURVEY.md section 7.9a) with no per-tick host dispatch.
+
+    Per-tick ``solve_times`` are the measured wall time of each
+    ``chunk``-tick dispatch divided by ``chunk`` — i.e. honest
+    device-loop time per tick including the plant and consensus, amortized
+    over the chunk; ``dts`` is the loop's sim-time control period (exactly
+    ``dt`` — the device loop is not wall-clock gated).
+    """
+    import jax.numpy as jnp
+
+    from indy7_mpc_tpu.config import (
+        CostConfig, MPCConfig, SampleConfig, SQPConfig,
+    )
+    from indy7_mpc_tpu.mpc import reference
+    from indy7_mpc_tpu.mpc.sampled import init_loop_carry, make_loop_tick
+    from indy7_mpc_tpu.runtime import RunRecorder
+
+    N, dt = 64, 0.01
+    dtype = jnp.float32
+    cost_cfg = CostConfig()
+    sqp_cfg = SQPConfig(max_iters=2)
+    mpc_cfg = MPCConfig(N=N, dt=dt)
+    sample_cfg = SampleConfig(
+        batch_size=B, f_ext_std=20.0, f_ext_resample_std=1.0
+    )
+
+    ref = reference.figure8(
+        A_x=0.5, A_z=0.55, offset=[0.0, 0.4, 0.45], period=10, dt=dt,
+        cycles=max(10, (ticks + N) // 1000 + 1),
+    )
+    ref = jnp.asarray(
+        np.asarray(reference.with_padding(ref, 200), np.float32)
+    )
+
+    tick = make_loop_tick(
+        model, cost_cfg, sqp_cfg, mpc_cfg, sample_cfg, ref,
+        f_true_walk=True, plant_cfg=plant_cfg,
+    )
+
+    @jax.jit
+    def run_chunk(carry):
+        return jax.lax.scan(tick, carry, None, length=chunk)
+
+    t_init0 = time.perf_counter()
+    carry = init_loop_carry(
+        model, mpc_cfg, sample_cfg, jnp.zeros(12, dtype),
+        jnp.asarray([-60.0, 20.0, -40.0, 0, 0, 0], dtype),
+        jax.random.PRNGKey(42),
+    )
+    carry_w, _ = run_chunk(carry)     # compile + warm up
+    jax.block_until_ready(carry_w)
+    init_s = time.perf_counter() - t_init0
+
+    rec = RunRecorder(out_dir=os.path.join(out_dir, tag), save_interval=1e9)
+    t0 = time.perf_counter()
+    n_chunks = max(1, ticks // chunk)
+    for _ in range(n_chunks):
+        tc = time.perf_counter()
+        carry, trace = run_chunk(carry)
+        jax.block_until_ready(trace.tracking_error)
+        per_tick_us = (time.perf_counter() - tc) / chunk * 1e6
+        rec.record_trace(trace, dts=0.01, solve_times_us=per_tick_us)
+    wall = time.perf_counter() - t0
+    stem = rec.save()
+    st = np.asarray(rec._data["solve_times"])
+    te = np.asarray(rec._data["tracking_errors"])
+    row = {
+        "tag": tag,
+        "B": B,
+        "ticks": int(len(te)),
+        "init_s": round(init_s, 1),
+        "wall_s": round(wall, 1),
+        "stem": stem,
+        "first_tick_us": float(st[0]),
+        "solve_us": [round(float(f), 1) for f in (
+            st.mean(), np.percentile(st, 50), np.percentile(st, 95),
+            st.max())],
+        "tracking_m": [round(float(f), 4) for f in (
+            te.mean(), np.percentile(te, 50), np.percentile(te, 95))],
+        "finite": bool(np.all(np.isfinite(te))),
+    }
+    print(json.dumps(row))
+    return row
+
+
 def run_one(model, B, ticks, plant_cfg, out_dir, tag, transport="inproc",
             realtime_scale=1.0):
     from indy7_mpc_tpu.config import (
@@ -205,9 +295,11 @@ def main():
     ap.add_argument("--plants", default="nominal,perturbed")
     ap.add_argument("--out", default="stats_tpu")
     ap.add_argument(
-        "--transport", default="inproc", choices=("inproc", "udp"),
+        "--transport", default="inproc", choices=("inproc", "udp", "device"),
         help="udp = native C++ plant_node process over the UDP transport "
-             "(the reference's two-process topology), wall-clock rate",
+             "(the reference's two-process topology), wall-clock rate; "
+             "device = fully device-resident lax.scan loop (no per-tick "
+             "host dispatch — the pure-JAX north-star mode)",
     )
     ap.add_argument(
         "--realtime-scale", type=float, default=1.0,
@@ -236,11 +328,19 @@ def main():
             tag = f"{plant_name}_b{B}"
             if args.transport == "udp":
                 tag += "_udp"
-            rows.append(
-                run_one(model, B, args.ticks, plant_cfg, args.out, tag,
-                        transport=args.transport,
-                        realtime_scale=args.realtime_scale)
-            )
+            elif args.transport == "device":
+                tag += "_device"
+            if args.transport == "device":
+                rows.append(
+                    run_device_resident(model, B, args.ticks, plant_cfg,
+                                        args.out, tag)
+                )
+            else:
+                rows.append(
+                    run_one(model, B, args.ticks, plant_cfg, args.out, tag,
+                            transport=args.transport,
+                            realtime_scale=args.realtime_scale)
+                )
     if not args.no_summary:
         write_summary(rows, args.ticks)
 

@@ -154,6 +154,116 @@ class SampledTrace(NamedTuple):
     f_true: jnp.ndarray          # (T, 6)
 
 
+def make_loop_tick(
+    model: RobotModel,
+    cost_cfg: CostConfig,
+    sqp_cfg: SQPConfig,
+    mpc_cfg: MPCConfig,
+    sample_cfg: SampleConfig,
+    ref_traj,
+    f_true_walk: bool = True,
+    batch_solve_fn=None,
+    plant_cfg: Optional[PlantConfig] = None,
+    plant_model: Optional[RobotModel] = None,
+):
+    """``tick(carry, _) -> (carry, SampledTrace)`` — one closed-loop step
+    (controller tick + ground-truth plant step + reference advance).
+
+    The single tick body shared by :func:`run_sampled_mpc` (single-device
+    ``lax.scan``) and the lane-sharded multi-host loop
+    (parallel/sharding.py make_sharded_sampled_loop), so the distributed
+    path scans the *identical* program.
+    """
+    N, dt = mpc_cfg.N, mpc_cfg.dt
+    pm = model if plant_model is None else plant_model
+    ref_traj = jnp.asarray(ref_traj)
+    if plant_cfg is None:
+        plant_fn = lambda x, u, w, k: plant_step(
+            pm, x, u, dt, wrench_world=w, substeps=mpc_cfg.sim_substeps
+        )
+    else:
+        _, _step = make_plant_step(pm, plant_cfg)
+        plant_fn = lambda x, u, w, k: _step(x, u, w, k, dt)
+
+    def tick(carry: SampledLoopCarry, _):
+        key, k_tick, k_walk, k_plant = jax.random.split(carry.key, 4)
+        goals = jax.lax.dynamic_slice_in_dim(ref_traj, carry.ref_offset, N, 0)
+
+        out = sampled_tick(
+            model, cost_cfg, sqp_cfg, sample_cfg, dt,
+            k_tick, carry.x, carry.x_last, carry.u_last, goals,
+            carry.X_best, carry.U_best, carry.f_batch,
+            batch_solve_fn=batch_solve_fn,
+        )
+
+        # True-plant step under the true wrench.
+        x_next = plant_fn(carry.x, out.u, carry.f_true, k_plant)
+
+        # Random-walk the true disturbance (gato_controller.py:236-239).
+        walked = carry.f_true.at[:3].set(
+            jnp.clip(
+                carry.f_true[:3]
+                + jax.random.normal(k_walk, (3,), carry.x.dtype),
+                -20.0, 20.0,
+            )
+        )
+        do_walk = jnp.logical_and(
+            jnp.asarray(f_true_walk), carry.ref_offset % 200 == 0
+        )
+        f_true = jnp.where(do_walk, walked, carry.f_true)
+
+        eep = ee_pos(model, carry.x[: model.nq])
+        trace = SampledTrace(
+            tracking_error=jnp.linalg.norm(eep - goals[0]),
+            ee_pos=eep,
+            ee_ref=goals[0],
+            q=carry.x[: model.nq],
+            u=out.u,
+            best_idx=out.best_idx,
+            f_est=out.f_est,
+            f_true=carry.f_true,
+        )
+        new_carry = SampledLoopCarry(
+            x=x_next,
+            x_last=carry.x,
+            u_last=out.u,
+            X_best=out.X_best,
+            U_best=out.U_best,
+            f_batch=out.f_batch,
+            f_true=f_true,
+            key=key,
+            ref_offset=carry.ref_offset + 1,
+        )
+        return new_carry, trace
+
+    return tick
+
+
+def init_loop_carry(
+    model: RobotModel,
+    mpc_cfg: MPCConfig,
+    sample_cfg: SampleConfig,
+    x0,
+    f_true0,
+    key,
+) -> SampledLoopCarry:
+    """Initial closed-loop carry (cold start: zero trajectories, fresh
+    hypothesis batch — gato_controller.py:77-83, 180-184)."""
+    N = mpc_cfg.N
+    key, k_init = jax.random.split(key)
+    return SampledLoopCarry(
+        x=x0,
+        x_last=x0,
+        u_last=jnp.zeros(model.nu, x0.dtype),
+        X_best=jnp.zeros((N, model.nx), x0.dtype).at[0].set(x0),
+        U_best=jnp.zeros((N - 1, model.nu), x0.dtype),
+        f_batch=init_wrench_batch(k_init, sample_cfg, x0.dtype),
+        f_true=jnp.asarray(f_true0, x0.dtype),
+        key=key,
+        ref_offset=jnp.asarray(0, jnp.int32),
+    )
+
+
 def run_sampled_mpc(
     model: RobotModel,
     cost_cfg: CostConfig,
@@ -189,77 +299,13 @@ def run_sampled_mpc(
 
     Returns (final_carry, SampledTrace).
     """
-    N, dt = mpc_cfg.N, mpc_cfg.dt
-    pm = model if plant_model is None else plant_model
-    ref_traj = jnp.asarray(ref_traj, x0.dtype)
-    if plant_cfg is None:
-        plant_fn = lambda x, u, w, k: plant_step(
-            pm, x, u, dt, wrench_world=w, substeps=mpc_cfg.sim_substeps
-        )
-    else:
-        _, _step = make_plant_step(pm, plant_cfg)
-        plant_fn = lambda x, u, w, k: _step(x, u, w, k, dt)
-
-    def tick(carry: SampledLoopCarry, _):
-        key, k_tick, k_walk, k_plant = jax.random.split(carry.key, 4)
-        goals = jax.lax.dynamic_slice_in_dim(ref_traj, carry.ref_offset, N, 0)
-
-        out = sampled_tick(
-            model, cost_cfg, sqp_cfg, sample_cfg, dt,
-            k_tick, carry.x, carry.x_last, carry.u_last, goals,
-            carry.X_best, carry.U_best, carry.f_batch,
-            batch_solve_fn=batch_solve_fn,
-        )
-
-        # True-plant step under the true wrench.
-        x_next = plant_fn(carry.x, out.u, carry.f_true, k_plant)
-
-        # Random-walk the true disturbance (gato_controller.py:236-239).
-        walked = carry.f_true.at[:3].set(
-            jnp.clip(
-                carry.f_true[:3] + jax.random.normal(k_walk, (3,), x0.dtype),
-                -20.0, 20.0,
-            )
-        )
-        do_walk = jnp.logical_and(
-            jnp.asarray(f_true_walk), carry.ref_offset % 200 == 0
-        )
-        f_true = jnp.where(do_walk, walked, carry.f_true)
-
-        eep = ee_pos(model, carry.x[: model.nq])
-        trace = SampledTrace(
-            tracking_error=jnp.linalg.norm(eep - goals[0]),
-            ee_pos=eep,
-            ee_ref=goals[0],
-            q=carry.x[: model.nq],
-            u=out.u,
-            best_idx=out.best_idx,
-            f_est=out.f_est,
-            f_true=carry.f_true,
-        )
-        new_carry = SampledLoopCarry(
-            x=x_next,
-            x_last=carry.x,
-            u_last=out.u,
-            X_best=out.X_best,
-            U_best=out.U_best,
-            f_batch=out.f_batch,
-            f_true=f_true,
-            key=key,
-            ref_offset=carry.ref_offset + 1,
-        )
-        return new_carry, trace
-
-    key, k_init = jax.random.split(key)
-    carry0 = SampledLoopCarry(
-        x=x0,
-        x_last=x0,
-        u_last=jnp.zeros(model.nu, x0.dtype),
-        X_best=jnp.zeros((N, model.nx), x0.dtype).at[0].set(x0),
-        U_best=jnp.zeros((N - 1, model.nu), x0.dtype),
-        f_batch=init_wrench_batch(k_init, sample_cfg, x0.dtype),
-        f_true=jnp.asarray(f_true0, x0.dtype),
-        key=key,
-        ref_offset=jnp.asarray(0, jnp.int32),
+    tick = make_loop_tick(
+        model, cost_cfg, sqp_cfg, mpc_cfg, sample_cfg,
+        jnp.asarray(ref_traj, x0.dtype),
+        f_true_walk=f_true_walk,
+        batch_solve_fn=batch_solve_fn,
+        plant_cfg=plant_cfg,
+        plant_model=plant_model,
     )
+    carry0 = init_loop_carry(model, mpc_cfg, sample_cfg, x0, f_true0, key)
     return jax.lax.scan(tick, carry0, None, length=num_steps)

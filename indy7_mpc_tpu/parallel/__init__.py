@@ -6,6 +6,7 @@ from .sharding import (
     shard_lanes,
     make_sharded_batch_solve,
     make_sharded_sampled_tick,
+    make_sharded_sampled_loop,
 )
 
 from . import distributed
@@ -19,4 +20,5 @@ __all__ = [
     "shard_lanes",
     "make_sharded_batch_solve",
     "make_sharded_sampled_tick",
+    "make_sharded_sampled_loop",
 ]

@@ -1,3 +1,3 @@
-from .plant import plant_step, predict_next_states
+from .plant import apply_joint_limits, plant_step, predict_next_states
 
-__all__ = ["plant_step", "predict_next_states"]
+__all__ = ["apply_joint_limits", "plant_step", "predict_next_states"]

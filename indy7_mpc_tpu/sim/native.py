@@ -37,6 +37,7 @@ def _load():
             dp, dp, ctypes.c_double, dp, ctypes.c_double, ctypes.c_uint64,
             ctypes.c_double, ctypes.c_double, dp,
         ]
+        lib.indy7_apply_joint_limits.argtypes = [dp]
         _lib = lib
     return _lib
 
@@ -95,6 +96,16 @@ def rk4_step(x, u, dt: float, wrench_world: Optional[np.ndarray] = None):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out
+
+
+def apply_joint_limits(x) -> np.ndarray:
+    """Joint range + velocity limit enforcement (the plant-side pass run
+    after every substep; parity surface for sim/plant.py
+    apply_joint_limits)."""
+    lib = _load()
+    a, xp = _arr(x, 12)
+    lib.indy7_apply_joint_limits(xp)
+    return a
 
 
 def perturbed_rk4_step(

@@ -74,6 +74,37 @@ def perturb_model(model: RobotModel, cfg: PlantConfig) -> RobotModel:
     )
 
 
+def apply_joint_limits(model: RobotModel, x):
+    """Hard joint stops + servo velocity saturation, applied after every
+    plant integrator substep.
+
+    The reference's ground-truth plant is MuJoCo, which enforces the MJCF
+    joint ``range`` as constraints inside ``mj_step``
+    (/root/reference/description/indy7.xml:18-38, sim_node.cpp:293-299);
+    the URDF additionally carries per-joint velocity limits that no
+    reference engine enforces (indy7.urdf ``<limit velocity=...>``).  This
+    plant enforces both, with semantics chosen for determinism and
+    bit-identical reproduction in the C++ plant
+    (native/plant/rbd.cpp apply_joint_limits):
+
+      1. ``v <- clip(v, -velocity_limit, +velocity_limit)`` — servo-side
+         velocity saturation;
+      2. ``q <- clip(q, q_lower, q_upper)``; where the clamp engages, the
+         outward velocity component is zeroed — a perfectly inelastic
+         joint stop (the same outcome class as MuJoCo's constraint
+         impulses, without the solver).
+
+    Broadcasts over leading batch dims.
+    """
+    nq = model.nq
+    q, v = x[..., :nq], x[..., nq:]
+    v = jnp.clip(v, -model.velocity_limit, model.velocity_limit)
+    v = jnp.where(q > model.q_upper, jnp.minimum(v, 0.0), v)
+    v = jnp.where(q < model.q_lower, jnp.maximum(v, 0.0), v)
+    q = jnp.clip(q, model.q_lower, model.q_upper)
+    return jnp.concatenate([q, v], axis=-1)
+
+
 def plant_step(
     model: RobotModel,
     x,
@@ -85,6 +116,7 @@ def plant_step(
     friction=None,
     torque_noise_std: float = 0.0,
     key=None,
+    enforce_limits: bool = True,
 ):
     """Advance the plant by ``dt`` under constant torque ``u``.
 
@@ -92,7 +124,10 @@ def plant_step(
     to the EE joint frame at the start of each substep (the reference maps
     once per control interval; substeps=1 reproduces that exactly).
     Torques are clamped to the actuator effort limits, matching the MuJoCo
-    plant's ``ctrlrange`` (description/indy7.xml:52-59).
+    plant's ``ctrlrange`` (description/indy7.xml:52-59); with
+    ``enforce_limits`` (the default — this is the ground-truth plant) the
+    joint position/velocity limits are applied after every substep
+    (:func:`apply_joint_limits`, the mj_step joint-``range`` analog).
     Broadcasts over leading batch dims.
 
     Model-mismatch knobs (config.PlantConfig):
@@ -120,8 +155,10 @@ def plant_step(
             f_l = world_wrench_to_ee_joint(
                 model, x[..., : model.nq], wrench_world
             )
-        return (rk4_step(model, x, us, h, f_ext_ee=f_l,
-                         friction=friction), k), None
+        x_next = rk4_step(model, x, us, h, f_ext_ee=f_l, friction=friction)
+        if enforce_limits:
+            x_next = apply_joint_limits(model, x_next)
+        return (x_next, k), None
 
     k0 = key if key is not None else jax.random.PRNGKey(0)
     if substeps == 1:
@@ -161,10 +198,14 @@ def predict_next_states(model: RobotModel, x, u, dt: float, wrench_batch):
 
     The analog of the CUDA solver's ``sim_forward`` used for consensus
     scoring (gato_controller.py:105-118): same (x, u) in every lane, one
-    wrench per lane.  Returns (B, nx).
+    wrench per lane.  Unconstrained dynamics, like the reference's
+    ``sim_forward`` (the controller's predictor does not model the plant's
+    joint stops — only the ground-truth plant enforces them, exactly the
+    reference's CUDA-predictor-vs-MuJoCo split).  Returns (B, nx).
     """
 
     def one(w):
-        return plant_step(model, x, u, dt, wrench_world=w)
+        return plant_step(model, x, u, dt, wrench_world=w,
+                          enforce_limits=False)
 
     return jax.vmap(one)(wrench_batch)

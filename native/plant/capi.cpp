@@ -69,6 +69,17 @@ void indy7_rk4_step(const double* x, const double* u, double dt,
   for (int i = 0; i < 12; ++i) x_out[i] = out[i];
 }
 
+// Joint position/velocity limit enforcement (the plant applies this after
+// every integrator substep; exposed separately so the Python side can
+// parity-test raw integration and limit semantics independently).
+void indy7_apply_joint_limits(double* x) {
+  static const indy7::Model m = indy7::indy7_model();
+  indy7::State xx;
+  for (int i = 0; i < 12; ++i) xx[i] = x[i];
+  indy7::apply_joint_limits(m, xx);
+  for (int i = 0; i < 12; ++i) x[i] = xx[i];
+}
+
 // Perturbed-plant step (model-mismatch validation): inertials scaled by
 // the seeded splitmix64 draws (must match sim/plant.py perturb_model
 // exactly) plus joint friction inside every RK4 stage.

@@ -149,6 +149,9 @@ int main(int argc, char** argv) {
       }
       x = indy7::rk4_step(model, x, us, dt, have_wrench ? &wrench : nullptr,
                           use_friction ? &friction : nullptr);
+      // Joint range + velocity limits, the mj_step constraint analog
+      // (sim_node.cpp:293-299, indy7.xml:18-38).
+      indy7::apply_joint_limits(model, x);
     }
 
     if (step % publish_every == 0) {

@@ -329,6 +329,24 @@ State rk4_step(const Model& m, const State& x, const VecJ& u, double dt,
   return out;
 }
 
+void apply_joint_limits(const Model& m, State& x) {
+  for (int i = 0; i < NJ; ++i) {
+    double q = x[i], v = x[NJ + i];
+    const double vl = m.velocity_limit[i];
+    if (v > vl) v = vl;
+    if (v < -vl) v = -vl;
+    if (q > m.q_upper[i]) {
+      q = m.q_upper[i];
+      if (v > 0.0) v = 0.0;
+    } else if (q < m.q_lower[i]) {
+      q = m.q_lower[i];
+      if (v < 0.0) v = 0.0;
+    }
+    x[i] = q;
+    x[NJ + i] = v;
+  }
+}
+
 namespace {
 unsigned long long splitmix64_out(unsigned long long z) {
   z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;

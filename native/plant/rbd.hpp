@@ -35,6 +35,9 @@ struct Model {
   Mat3 I_com[NJ];    // rotational inertia about the COM
   Vec3 gravity;      // world-frame linear gravity
   Vec3 tcp_offset;   // fixed tool offset from the last joint frame
+  VecJ q_lower;      // joint position limits (URDF <limit lower/upper>,
+  VecJ q_upper;      //   the MJCF joint range MuJoCo enforces in mj_step)
+  VecJ velocity_limit;  // URDF <limit velocity>
 };
 
 // World placements of every joint frame (R includes the joint rotation).
@@ -71,6 +74,14 @@ struct Friction {
 // RK4 step matching src/utils.py:3-18 (wrench mapped at the start state).
 State rk4_step(const Model& m, const State& x, const VecJ& u, double dt,
                const Vec6* wrench_world, const Friction* friction = nullptr);
+
+// Hard joint stops + servo velocity saturation, applied after every
+// plant integrator substep.  Bit-identical semantics to the JAX plant's
+// sim/plant.py apply_joint_limits (the mj_step joint-range analog):
+//   1. v = clip(v, -velocity_limit, velocity_limit);
+//   2. q = clip(q, q_lower, q_upper), zeroing the outward velocity
+//      component where the clamp engages (perfectly inelastic stop).
+void apply_joint_limits(const Model& m, State& x);
 
 // Seeded inertial-parameter error: per-link mass and inertia scaled by
 // independent uniform factors in [1-pct, 1+pct].  splitmix64-based and

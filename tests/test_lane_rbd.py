@@ -60,7 +60,8 @@ def test_lane_engine_matches_generic(model64, rng):
     x = jnp.concatenate([q, v])
     r = LR.rk4_step(sm, x, tau, 0.01, wrench_world=w)
     r_ref = jax.vmap(
-        lambda xx, uu, ww: plant_step(model64, xx, uu, 0.01, wrench_world=ww)
+        lambda xx, uu, ww: plant_step(model64, xx, uu, 0.01, wrench_world=ww,
+                                      enforce_limits=False)
     )(x.T, tauT, wT)
     np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref.T), atol=1e-11)
 

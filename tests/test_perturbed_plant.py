@@ -65,6 +65,7 @@ def test_native_perturbed_step_parity(model64, native_build):
         pm, jnp.asarray(X0), jnp.asarray(U0), 0.01,
         wrench_world=jnp.asarray(W0), clamp_torque=False,
         friction=(CFG.viscous_friction, CFG.coulomb_friction),
+        enforce_limits=False,
     )
     xn = native.perturbed_rk4_step(
         X0, U0, 0.01, wrench_world=W0, pct=CFG.param_scale_pct,
