@@ -62,7 +62,10 @@ def main():
     )
     ref = reference.with_padding(ref, 200)
 
-    x0 = jnp.zeros(12, jnp.float32)
+    # The reference sim's fixed initial pose (sim_node.cpp:196).
+    x0 = jnp.zeros(12, jnp.float32).at[:6].set(jnp.asarray(
+        [1.5799, 0.0631, -1.1807, 1.0927, -0.6255, -0.0190], jnp.float32
+    ))
     f_true = jnp.asarray([-60.0, 20.0, -40.0, 0.0, 0.0, 0.0], jnp.float32)
     key = jax.random.PRNGKey(42)
 

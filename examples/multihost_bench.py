@@ -55,6 +55,10 @@ def worker(args) -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from indy7_mpc_tpu.utils.cache import enable_cache
+
+    enable_cache()  # persistent compile cache across worker invocations
+
     from indy7_mpc_tpu.config import (
         CostConfig, MPCConfig, SampleConfig, SQPConfig,
     )
@@ -89,9 +93,12 @@ def worker(args) -> None:
     # Cold-start carry: identical host values in every process (seeded),
     # then placed ONCE as global arrays — f_batch lane-sharded, the rest
     # replicated.  After this, the carry never leaves the devices.
+    # The reference sim's fixed initial pose (sim_node.cpp:196).
+    x0 = jnp.zeros(12, dtype).at[:6].set(jnp.asarray(
+        [1.5799, 0.0631, -1.1807, 1.0927, -0.6255, -0.0190], dtype
+    ))
     c0 = init_loop_carry(
-        model, mpc_cfg, sample_cfg,
-        jnp.zeros(12, dtype),
+        model, mpc_cfg, sample_cfg, x0,
         jnp.asarray([-60.0, 20.0, -40.0, 0, 0, 0], dtype),
         jax.random.PRNGKey(42),
     )

@@ -33,6 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# The reference sim's fixed initial pose (sim_node.cpp:196).
+INIT_Q = [1.5799, 0.0631, -1.1807, 1.0927, -0.6255, -0.0190]
+
 REF_ROWS = {
     # BASELINE.md: solve-time (mean/p50/p95/max us), tracking (mean/p50/p95 m)
     1: ((5261, 5265, 5868, 6692), (0.192, 0.172, 0.388)),
@@ -120,8 +123,9 @@ def run_device_resident(model, B, ticks, plant_cfg, out_dir, tag,
         return jax.lax.scan(tick, carry, None, length=chunk)
 
     t_init0 = time.perf_counter()
+    x0 = jnp.zeros(12, dtype).at[:6].set(jnp.asarray(INIT_Q, dtype))
     carry = init_loop_carry(
-        model, mpc_cfg, sample_cfg, jnp.zeros(12, dtype),
+        model, mpc_cfg, sample_cfg, x0,
         jnp.asarray([-60.0, 20.0, -40.0, 0, 0, 0], dtype),
         jax.random.PRNGKey(42),
     )
@@ -199,7 +203,12 @@ def run_one(model, B, ticks, plant_cfg, out_dir, tag, transport="inproc",
         proc = spawn_plant_node(plant_cfg, dt, realtime_scale)
         plant = UdpTransport()
     else:
-        plant = InProcessPlant(model, np.zeros(12), dt, plant_cfg=plant_cfg)
+        # The reference sim's fixed initial pose (sim_node.cpp:196) — the
+        # same state plant_node starts from; starting at zeros instead
+        # drives joints 4/5 into their stops on the fig-8 approach.
+        x0 = np.zeros(12)
+        x0[:6] = INIT_Q
+        plant = InProcessPlant(model, x0, dt, plant_cfg=plant_cfg)
 
     rec = RunRecorder(out_dir=os.path.join(out_dir, tag), save_interval=1e9)
     t0 = time.perf_counter()

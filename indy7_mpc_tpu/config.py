@@ -23,12 +23,26 @@ class CostConfig:
     QN: float = 100.0
     regularize: bool = True
     eps: float = 1.0
+    # Joint-range barrier (the "gn" formulation only): adds
+    # Qmod * q_barrier * sum_j relu(|q_j| - (limit_j - margin))^2 to the
+    # tracking cost (Qmod = 1 running / QN terminal), with the matching
+    # GN gradient/diagonal-Hessian in the QP blocks.  The plant enforces
+    # hard joint stops (sim/plant.py apply_joint_limits); without this
+    # term the limit-blind controller plans THROUGH a stop and the
+    # consensus estimator misreads the clamp as an external wrench
+    # (measured: fig-8 runs rode joints 3/4 at their stops for ~1000
+    # ticks, 3-5x tracking degradation).  The reference has no analog —
+    # its controller simply never meets MuJoCo's limits on the recorded
+    # runs.  Set to 0.0 to disable.
+    q_barrier: float = 25.0
+    q_barrier_margin: float = 0.1
     # QP formulation:
     #   "gn"        — delta-variable Gauss-Newton (H = J^T J): well-
     #                 conditioned, fast SQP convergence (the default).
     #   "reference" — the reference's absolute-variable outer-product
     #                 Hessian (osqp_solver.py:103-135), kept for parity
-    #                 tests against the OSQP-style oracle.
+    #                 tests against the OSQP-style oracle; ignores the
+    #                 joint-range barrier.
     formulation: str = "gn"
 
 
@@ -114,6 +128,12 @@ class PlantConfig:
     viscous_friction: float = 0.0
     coulomb_friction: float = 0.0
     seed: int = 0
+    # Servo-side velocity saturation at the URDF <limit velocity> values.
+    # OFF by default to match the reference plant's physics: MuJoCo
+    # enforces the MJCF joint range but not velocity limits (its recorded
+    # runs exceed them, stats/single joint4 ~25 rad/s).  Joint POSITION
+    # limits are always enforced (sim/plant.py apply_joint_limits).
+    velocity_saturation: bool = False
 
 
 #: The standard model-mismatch validation plant: ~±4% inertial parameter

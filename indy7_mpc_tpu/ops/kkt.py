@@ -141,6 +141,23 @@ def cost_blocks(model: RobotModel, cfg: CostConfig, X, U, goals):
     return Q, q, R, r
 
 
+def barrier_terms(model: RobotModel, cfg: CostConfig, q):
+    """Joint-range barrier value / gradient / GN Hessian diagonal at q.
+
+    ``q_barrier * sum_j relu(q_j - (hi_j - m))^2 + relu((lo_j + m) - q_j)^2``
+    — zero (value, gradient, curvature) strictly inside the margin band,
+    so interior trajectories are bit-identical with the barrier on.
+    See config.CostConfig.q_barrier.
+    """
+    w = cfg.q_barrier
+    d_hi = jnp.maximum(q - (model.q_upper - cfg.q_barrier_margin), 0.0)
+    d_lo = jnp.maximum((model.q_lower + cfg.q_barrier_margin) - q, 0.0)
+    val = w * jnp.sum(d_hi * d_hi + d_lo * d_lo)
+    grad = 2.0 * w * (d_hi - d_lo)
+    hess = 2.0 * w * ((d_hi > 0.0) | (d_lo > 0.0)).astype(q.dtype)
+    return val, grad, hess
+
+
 def cost_blocks_gn(model: RobotModel, cfg: CostConfig, X, U, goals):
     """Delta-variable Gauss-Newton cost blocks (the TPU-native default).
 
@@ -170,7 +187,12 @@ def cost_blocks_gn(model: RobotModel, cfg: CostConfig, X, U, goals):
         Qk = jnp.zeros((nx, nx), X.dtype)
         Qk = Qk.at[:nq, :nq].set(2.0 * Q_mod * (J.T @ J))
         Qk = Qk.at[nq:, nq:].set(2.0 * dQ_mod * jnp.eye(nq, dtype=X.dtype))
-        qk = jnp.concatenate([2.0 * Q_mod * (J.T @ err), 2.0 * dQ_mod * x[nq:]])
+        g_pos = 2.0 * Q_mod * (J.T @ err)
+        if cfg.q_barrier:
+            _, gb, hb = barrier_terms(model, cfg, x[:nq])
+            Qk = Qk.at[jnp.arange(nq), jnp.arange(nq)].add(Q_mod * hb)
+            g_pos = g_pos + Q_mod * gb
+        qk = jnp.concatenate([g_pos, 2.0 * dQ_mod * x[nq:]])
         return Qk, qk, R_mod
 
     is_term = jnp.arange(N) == N - 1
@@ -264,7 +286,12 @@ def eepos_cost(model: RobotModel, cfg: CostConfig, X, U, goals):
 
         err = ee_pos(model, x[:nq]) - goal
         Q_mod = jnp.where(is_terminal, cfg.QN, 1.0)
-        return Q_mod * (err @ err), cfg.dQ * (x[nq:] @ x[nq:])
+        pos_cost = err @ err
+        # Joint-range barrier ("gn" formulation only — the "reference"
+        # merit must keep matching the osqp_sqp.py restatement).
+        if cfg.q_barrier and cfg.formulation == "gn":
+            pos_cost = pos_cost + barrier_terms(model, cfg, x[:nq])[0]
+        return Q_mod * pos_cost, cfg.dQ * (x[nq:] @ x[nq:])
 
     N = X.shape[0]
     is_term = jnp.arange(N) == N - 1

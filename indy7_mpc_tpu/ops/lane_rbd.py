@@ -53,6 +53,8 @@ class StaticModel(NamedTuple):
     I_o: np.ndarray      # (nj, 3, 3) inertia about joint origin
     gravity: np.ndarray  # (3,)
     nj: int
+    q_lower: np.ndarray  # (nj,) joint position limits (cost barrier data)
+    q_upper: np.ndarray  # (nj,)
 
 
 def static_model(model: RobotModel) -> StaticModel:
@@ -72,6 +74,8 @@ def static_model(model: RobotModel) -> StaticModel:
         I_o=I_o,
         gravity=np.asarray(model.gravity, np.float64),
         nj=mass.shape[0],
+        q_lower=np.asarray(model.q_lower, np.float64),
+        q_upper=np.asarray(model.q_upper, np.float64),
     )
 
 

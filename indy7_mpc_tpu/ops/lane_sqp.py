@@ -207,6 +207,22 @@ def build_blocks(
     vf = jnp.reshape(X[:, NQ:].swapaxes(0, 1), (NQ, Lc))
     grad = grad.at[NQ:].set(2.0 * dQ_mod * vf)
 
+    # Joint-range barrier (kkt.barrier_terms semantics, Qmod-scaled like
+    # the EE term — mirrors the fused kernel's _barrier_knot).
+    if cfg.q_barrier:
+        w_b = cfg.q_barrier
+        for i in range(NQ):
+            hi = float(sm.q_upper[i]) - cfg.q_barrier_margin
+            lo = float(sm.q_lower[i]) + cfg.q_barrier_margin
+            d_hi = jnp.maximum(qf[i] - hi, 0.0)
+            d_lo = jnp.maximum(lo - qf[i], 0.0)
+            gb = 2.0 * w_b * (d_hi - d_lo)
+            hb = 2.0 * w_b * jnp.logical_or(
+                d_hi > 0.0, d_lo > 0.0
+            ).astype(dtype)
+            Qblk = Qblk.at[i, i].add(Q_mod * hb)
+            grad = grad.at[i].add(Q_mod * gb)
+
     Q = jnp.reshape(Qblk, (NX, NX, N, B)).transpose(2, 0, 1, 3)
     qvec = jnp.reshape(grad, (NX, N, B)).swapaxes(0, 1)
     Rknots = jnp.reshape(2.0 * R_mod, (N, B))[:-1]
@@ -427,7 +443,16 @@ def merit_batch(
     ).reshape(Lc)
     Q_mod = jnp.where(term, cfg.QN, 1.0)
     v2 = sum(Xc[:, :, NQ + i].reshape(Lc) ** 2 for i in range(NQ))
-    knot_cost = Q_mod * err2 + cfg.dQ * v2
+    pos2 = err2
+    if cfg.q_barrier:  # joint-range barrier (kkt.barrier_terms)
+        w_b = cfg.q_barrier
+        for i in range(NQ):
+            hi = float(sm.q_upper[i]) - cfg.q_barrier_margin
+            lo = float(sm.q_lower[i]) + cfg.q_barrier_margin
+            d_hi = jnp.maximum(qf[i] - hi, 0.0)
+            d_lo = jnp.maximum(lo - qf[i], 0.0)
+            pos2 = pos2 + w_b * (d_hi * d_hi + d_lo * d_lo)
+    knot_cost = Q_mod * pos2 + cfg.dQ * v2
     cost = jnp.sum(knot_cost.reshape(C, N, B), axis=1)
     cost = cost + cfg.R * jnp.sum(Uc * Uc, axis=(1, 2))
 

@@ -66,6 +66,30 @@ def _bc(comp, shape):
 # Per-knot linearization + cost data (runs inside the kernel).
 # ---------------------------------------------------------------------------
 
+def _barrier_knot(sm, cfg, q):
+    """Joint-range barrier data (ops/kkt.py barrier_terms semantics):
+    (value, gradient list NQ, GN Hessian-diagonal list NQ), elementwise
+    over each component's trailing shape.  Zero everywhere strictly
+    inside the margin band, so interior lanes are numerically unchanged.
+    """
+    w = cfg.q_barrier
+    cb = None
+    gb, hb = [], []
+    for i in range(NQ):
+        hi = float(sm.q_upper[i]) - cfg.q_barrier_margin
+        lo = float(sm.q_lower[i]) + cfg.q_barrier_margin
+        d_hi = jnp.maximum(q[i] - hi, 0.0)
+        d_lo = jnp.maximum(lo - q[i], 0.0)
+        term = w * (d_hi * d_hi + d_lo * d_lo)
+        cb = term if cb is None else cb + term
+        gb.append(2.0 * w * (d_hi - d_lo))
+        hb.append(
+            2.0 * w
+            * jnp.logical_or(d_hi > 0.0, d_lo > 0.0).astype(q[i].dtype)
+        )
+    return cb, gb, hb
+
+
 def _linearize_knot(sm, cfg, dt, x, u, w, goal):
     """All per-knot data for one (12, T) state slice.
 
@@ -141,17 +165,26 @@ def _linearize_knot(sm, cfg, dt, x, u, w, goal):
     twodQ = 2.0 * cfg.dQ * scale
     twoR = 2.0 * cfg.R * scale
     # qvec = [2 Qmod J^T err ; 2 dQmod v]; Qmod = 1 at running knots (the
-    # terminal knot's QN factor is applied by the caller).
+    # terminal knot's QN factor is applied by the caller).  The barrier
+    # gradient rides the position part (it scales with Qmod, matching
+    # ops/kkt.py cost_blocks_gn); its Hessian diagonal rides scale2
+    # rows 2..7 into the backward sweep's _q_cols.
     gp = [2.0 * LR.dot3(cols[i], err) for i in range(NQ)]
+    v2 = sum(v[i] * v[i] for i in range(NQ))
+    u2 = sum(uu[i] * uu[i] for i in range(NU))
+    base_cost = (err2 + cfg.dQ * v2) + cfg.R * u2
+    if cfg.q_barrier:
+        cb, gb, hb = _barrier_knot(sm, cfg, q)
+        gp = [gp[i] + gb[i] for i in range(NQ)]
+        base_cost = base_cost + cb
+    else:
+        hb = [jnp.zeros_like(twodQ) for _ in range(NQ)]
     qvec = jnp.concatenate(
         [jnp.stack(gp), jnp.stack([twodQ * v[i] for i in range(NQ)])]
     )
     # J rows stored a-major: row a*6+i = J[a][i] (matches _q_cols).
     Jrows = jnp.stack([cols[i][a] for a in range(3) for i in range(NQ)])
-    scale2 = jnp.stack([twodQ, twoR])
-    v2 = sum(v[i] * v[i] for i in range(NQ))
-    u2 = sum(uu[i] * uu[i] for i in range(NU))
-    base_cost = (err2 + cfg.dQ * v2) + cfg.R * u2
+    scale2 = jnp.stack([twodQ, twoR] + hb)
     return da, minv, xnext, qvec, scale2, Jrows, base_cost
 
 
@@ -175,13 +208,19 @@ def _cost_knot(sm, cfg, goal, x):
     twodQ = 2.0 * cfg.dQ * scale
     twoR = 2.0 * cfg.R * scale
     gp = [2.0 * LR.dot3(cols[i], err) for i in range(NQ)]
+    v2 = sum(v[i] * v[i] for i in range(NQ))
+    base_cost = cfg.QN * err2 + cfg.dQ * v2
+    if cfg.q_barrier:
+        cb, gb, hb = _barrier_knot(sm, cfg, q)
+        gp = [gp[i] + gb[i] for i in range(NQ)]  # s0 applies the QN factor
+        base_cost = base_cost + cfg.QN * cb
+    else:
+        hb = [jnp.zeros_like(twodQ) for _ in range(NQ)]
     qvec = jnp.concatenate(
         [jnp.stack(gp), jnp.stack([twodQ * v[i] for i in range(NQ)])]
     )
     Jrows = jnp.stack([cols[i][a] for a in range(3) for i in range(NQ)])
-    v2 = sum(v[i] * v[i] for i in range(NQ))
-    base_cost = cfg.QN * err2 + cfg.dQ * v2
-    return qvec, jnp.stack([twodQ, twoR]), Jrows, base_cost
+    return qvec, jnp.stack([twodQ, twoR] + hb), Jrows, base_cost
 
 
 def _A_from_dtda(dtda_flat, dt):
@@ -318,8 +357,12 @@ def _sqp_kernel(
             """out[i] = col[i-6] for i >= 6 else 0 (the dt I block of A^T)."""
             return jnp.concatenate([zeros6T, col[:NQ]])
 
-        def _q_cols(Jr, twodQ, qmod_static):
-            """GN cost Hessian as 12 column stacks from J rows (18, T)."""
+        row6 = jax.lax.broadcasted_iota(jnp.int32, (NQ, T), 0)
+
+        def _q_cols(Jr, twodQ, qmod_static, hb=None):
+            """GN cost Hessian as 12 column stacks from J rows (18, T);
+            ``hb`` (6, T) adds the joint-range barrier diagonal (scaled by
+            ``qmod_static``, like the J^T J part) to the position block."""
             Jst = [Jr[a * NQ : (a + 1) * NQ] for a in range(3)]  # (6, T)
             cols = []
             for j in range(NQ):
@@ -327,6 +370,10 @@ def _sqp_kernel(
                     Jst[a] * (2.0 * qmod_static * Jr[a * NQ + j])[None, :]
                     for a in range(3)
                 )
+                if hb is not None:
+                    qtop = qtop + jnp.where(
+                        row6 == j, (qmod_static * hb[j])[None, :], 0.0
+                    ).astype(dtype)
                 cols.append(jnp.concatenate([qtop, zeros6T]))
             for j in range(NQ, NX):
                 cols.append(
@@ -334,8 +381,15 @@ def _sqp_kernel(
                 )
             return cols
 
+        use_b = bool(cost_cfg.q_barrier)
+
+        def _hb_of(k):
+            return (
+                [sc_scr[k, 2 + i] for i in range(NQ)] if use_b else None
+            )
+
         # Terminal boundary: S = Q_N (columns), s = [QN q_pos; q_vel].
-        S0_cols = _q_cols(J_scr[N - 1], sc_scr[N - 1, 0], QN)
+        S0_cols = _q_cols(J_scr[N - 1], sc_scr[N - 1, 0], QN, _hb_of(N - 1))
         qvT = qv_scr[N - 1]
         s0 = jnp.concatenate([QN * qvT[:NQ], qvT[NQ:]])
         S_scr[...] = jnp.concatenate(S0_cols + [s0])
@@ -368,7 +422,7 @@ def _sqp_kernel(
                     c = c + S_col[NQ + u] * dtda[u * NX + j][None, :]
                 SA.append(c)
             # Qxx = A^T S A + Q.
-            Qcols = _q_cols(J_scr[k], twodQ, 1.0)
+            Qcols = _q_cols(J_scr[k], twodQ, 1.0, _hb_of(k))
             Qxx = [At_apply(SA[j]) + Qcols[j] for j in range(NX)]
 
             # SB = S B (B = [0; dt M^-1]) and Qxu = A^T S B.
@@ -489,7 +543,10 @@ def _sqp_kernel(
             eep = LR.ee_pos(sm, q)
             err2 = sum((eep[i] - goal[i]) ** 2 for i in range(3))
             v2 = sum(v[i] * v[i] for i in range(NQ))
-            return qmod * err2 + cost_cfg.dQ * v2
+            pos = err2
+            if cost_cfg.q_barrier:
+                pos = pos + _barrier_knot(sm, cost_cfg, q)[0]
+            return qmod * pos + cost_cfg.dQ * v2
 
         def ls_body(k, acc):
             cost_acc, cv_acc = acc
@@ -653,7 +710,7 @@ def sqp_solve_pallas(
             pltpu.VMEM((Nm1, 36, tile), dtype),   # minv
             pltpu.VMEM((Nm1, 12, tile), dtype),   # defects
             pltpu.VMEM((N, 12, tile), dtype),     # qvec
-            pltpu.VMEM((N, 2, tile), dtype),      # scales
+            pltpu.VMEM((N, 8, tile), dtype),      # scales + barrier diag
             pltpu.VMEM((N, 18, tile), dtype),     # J rows
             pltpu.VMEM((Nm1, 72, tile), dtype),   # K
             pltpu.VMEM((Nm1, 6, tile), dtype),    # kff

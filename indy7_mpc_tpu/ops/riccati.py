@@ -56,13 +56,15 @@ def backward_pass(blocks: QPBlocks, rho):
         qx = q + A.T @ Sc
         qu = r + B.T @ Sc
 
-        L = jnp.linalg.cholesky(_sym(Quu))
-        def chosolve(rhs):
-            y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-            return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-
-        K = -chosolve(Qxu.T)
-        kff = -chosolve(qu)
+        # Pivoted LU rather than Cholesky: at N=64 the recursion drives
+        # cond(Quu) past f32's range and a Cholesky pivot can go (float-)
+        # negative, poisoning the whole lane with NaN; LU degrades to an
+        # inaccurate step instead, which the merit line search simply
+        # rejects (rho then escalates) — the same graceful-failure
+        # behavior as the kernel's sqrt-free LDL.
+        Quu_s = _sym(Quu)
+        K = -jnp.linalg.solve(Quu_s, Qxu.T)
+        kff = -jnp.linalg.solve(Quu_s, qu)
         S_new = _sym(Qxx + Qxu @ K)
         s_new = qx + Qxu @ kff
         return (S_new, s_new), (K, kff)
@@ -96,7 +98,23 @@ def solve(blocks: QPBlocks, xs, rho) -> RiccatiSolution:
     """Exact solve of the block-tridiagonal QP for one lane.
 
     vmap over lanes for the batched solver; rho may be per-lane.
+
+    f32 inputs are upcast to f64 for the sweep and cast back: the
+    backward recursion squares the conditioning per knot and at N=64
+    with QN=100 the accumulated S reaches cond(Quu) ~ 1e11 — past f32's
+    ~1e7, where ``jnp.linalg.cholesky`` returns NaN (observed: warm
+    closed-loop NaN at N=64/f32 around tick 20).  The fused Pallas
+    kernel — the TPU production path — keeps native f32 via its
+    sqrt-free LDL + per-knot re-symmetrization (ops/pallas/sqp_kernel.py
+    stage-2 comment); this readable/oracle path buys the same stability
+    with precision instead.
     """
+    dtype = blocks.A.dtype
+    if dtype == jnp.float32 and jax.config.jax_enable_x64:
+        blocks64 = jax.tree.map(lambda a: a.astype(jnp.float64), blocks)
+        sol = solve(blocks64, xs.astype(jnp.float64),
+                    jnp.asarray(rho, jnp.float64))
+        return RiccatiSolution(*(a.astype(dtype) for a in sol))
     K, kff = backward_pass(blocks, rho)
     X, U = forward_pass(blocks, K, kff, xs)
     return RiccatiSolution(X=X, U=U, K=K, kff=kff)

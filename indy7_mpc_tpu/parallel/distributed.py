@@ -56,6 +56,9 @@ def initialize(
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        # x64 available so the readable Riccati sweep can run its f64
+        # stabilization path at N=64/f32 (ops/riccati.py solve).
+        jax.config.update("jax_enable_x64", True)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -37,7 +37,7 @@ def _load():
             dp, dp, ctypes.c_double, dp, ctypes.c_double, ctypes.c_uint64,
             ctypes.c_double, ctypes.c_double, dp,
         ]
-        lib.indy7_apply_joint_limits.argtypes = [dp]
+        lib.indy7_apply_joint_limits.argtypes = [dp, ctypes.c_int]
         _lib = lib
     return _lib
 
@@ -98,13 +98,13 @@ def rk4_step(x, u, dt: float, wrench_world: Optional[np.ndarray] = None):
     return out
 
 
-def apply_joint_limits(x) -> np.ndarray:
-    """Joint range + velocity limit enforcement (the plant-side pass run
-    after every substep; parity surface for sim/plant.py
-    apply_joint_limits)."""
+def apply_joint_limits(x, velocity_saturation: bool = False) -> np.ndarray:
+    """Joint range (and optional velocity-saturation) enforcement — the
+    plant-side pass run after every substep; parity surface for
+    sim/plant.py apply_joint_limits."""
     lib = _load()
     a, xp = _arr(x, 12)
-    lib.indy7_apply_joint_limits(xp)
+    lib.indy7_apply_joint_limits(xp, int(velocity_saturation))
     return a
 
 

@@ -74,21 +74,22 @@ def perturb_model(model: RobotModel, cfg: PlantConfig) -> RobotModel:
     )
 
 
-def apply_joint_limits(model: RobotModel, x):
-    """Hard joint stops + servo velocity saturation, applied after every
-    plant integrator substep.
+def apply_joint_limits(model: RobotModel, x, velocity_saturation=False):
+    """Hard joint stops (and optional servo velocity saturation), applied
+    after every plant integrator substep.
 
     The reference's ground-truth plant is MuJoCo, which enforces the MJCF
     joint ``range`` as constraints inside ``mj_step``
-    (/root/reference/description/indy7.xml:18-38, sim_node.cpp:293-299);
-    the URDF additionally carries per-joint velocity limits that no
-    reference engine enforces (indy7.urdf ``<limit velocity=...>``).  This
-    plant enforces both, with semantics chosen for determinism and
-    bit-identical reproduction in the C++ plant
+    (/root/reference/description/indy7.xml:18-38, sim_node.cpp:293-299)
+    but does NOT enforce the URDF's per-joint velocity limits — its
+    recorded runs exceed them freely (stats/single joint4 peaks
+    ~25 rad/s).  Default semantics therefore match MuJoCo: position range
+    only.  Semantics, bit-identical to the C++ plant
     (native/plant/rbd.cpp apply_joint_limits):
 
-      1. ``v <- clip(v, -velocity_limit, +velocity_limit)`` — servo-side
-         velocity saturation;
+      1. with ``velocity_saturation`` (opt-in; a servo-side actuator
+         model using the URDF ``<limit velocity=...>`` values):
+         ``v <- clip(v, -velocity_limit, +velocity_limit)``;
       2. ``q <- clip(q, q_lower, q_upper)``; where the clamp engages, the
          outward velocity component is zeroed — a perfectly inelastic
          joint stop (the same outcome class as MuJoCo's constraint
@@ -98,7 +99,8 @@ def apply_joint_limits(model: RobotModel, x):
     """
     nq = model.nq
     q, v = x[..., :nq], x[..., nq:]
-    v = jnp.clip(v, -model.velocity_limit, model.velocity_limit)
+    if velocity_saturation:
+        v = jnp.clip(v, -model.velocity_limit, model.velocity_limit)
     v = jnp.where(q > model.q_upper, jnp.minimum(v, 0.0), v)
     v = jnp.where(q < model.q_lower, jnp.maximum(v, 0.0), v)
     q = jnp.clip(q, model.q_lower, model.q_upper)
@@ -117,6 +119,7 @@ def plant_step(
     torque_noise_std: float = 0.0,
     key=None,
     enforce_limits: bool = True,
+    velocity_saturation: bool = False,
 ):
     """Advance the plant by ``dt`` under constant torque ``u``.
 
@@ -157,7 +160,9 @@ def plant_step(
             )
         x_next = rk4_step(model, x, us, h, f_ext_ee=f_l, friction=friction)
         if enforce_limits:
-            x_next = apply_joint_limits(model, x_next)
+            x_next = apply_joint_limits(
+                model, x_next, velocity_saturation=velocity_saturation
+            )
         return (x_next, k), None
 
     k0 = key if key is not None else jax.random.PRNGKey(0)
@@ -188,6 +193,7 @@ def make_plant_step(model: RobotModel, cfg: Optional[PlantConfig]):
             friction=friction,
             torque_noise_std=cfg.torque_noise_std,
             key=key,
+            velocity_saturation=cfg.velocity_saturation,
         )
 
     return pm, step_fn
@@ -198,14 +204,16 @@ def predict_next_states(model: RobotModel, x, u, dt: float, wrench_batch):
 
     The analog of the CUDA solver's ``sim_forward`` used for consensus
     scoring (gato_controller.py:105-118): same (x, u) in every lane, one
-    wrench per lane.  Unconstrained dynamics, like the reference's
-    ``sim_forward`` (the controller's predictor does not model the plant's
-    joint stops — only the ground-truth plant enforces them, exactly the
-    reference's CUDA-predictor-vs-MuJoCo split).  Returns (B, nx).
+    wrench per lane.  Unlike the reference's ``sim_forward`` (which is
+    blind to MuJoCo's joint-range constraints), the predictor here shares
+    the plant's joint-stop physics: without it, the prediction error a
+    clamp causes gets misattributed to the wrench hypotheses and the
+    estimator locks onto wrenches that push the arm INTO the stop
+    (measured: B>=16 fig-8 runs rode joints 0/3/4 at their stops for
+    ~1000 ticks with 3-5x tracking degradation).  Returns (B, nx).
     """
 
     def one(w):
-        return plant_step(model, x, u, dt, wrench_world=w,
-                          enforce_limits=False)
+        return plant_step(model, x, u, dt, wrench_world=w)
 
     return jax.vmap(one)(wrench_batch)

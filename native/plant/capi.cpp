@@ -72,11 +72,11 @@ void indy7_rk4_step(const double* x, const double* u, double dt,
 // Joint position/velocity limit enforcement (the plant applies this after
 // every integrator substep; exposed separately so the Python side can
 // parity-test raw integration and limit semantics independently).
-void indy7_apply_joint_limits(double* x) {
+void indy7_apply_joint_limits(double* x, int saturate_velocity) {
   static const indy7::Model m = indy7::indy7_model();
   indy7::State xx;
   for (int i = 0; i < 12; ++i) xx[i] = x[i];
-  indy7::apply_joint_limits(m, xx);
+  indy7::apply_joint_limits(m, xx, saturate_velocity != 0);
   for (int i = 0; i < 12; ++i) x[i] = xx[i];
 }
 

@@ -55,6 +55,7 @@ int main(int argc, char** argv) {
   double dt = 0.001;
   int publish_every = 10;
   double perturb_pct = 0.0, noise_std = 0.0, realtime_scale = 1.0;
+  bool vel_limit = false;  // --vel-limit: opt-in servo velocity saturation
   unsigned long long perturb_seed = 0;
   indy7::Friction friction{};
   int pos = 0;
@@ -70,6 +71,8 @@ int main(int argc, char** argv) {
     } else if (std::strcmp(argv[i], "--realtime-scale") == 0 &&
                i + 1 < argc) {
       realtime_scale = std::atof(argv[++i]);
+    } else if (std::strcmp(argv[i], "--vel-limit") == 0) {
+      vel_limit = true;
     } else if (pos == 0) {
       dt = std::atof(argv[i]);
       ++pos;
@@ -149,9 +152,10 @@ int main(int argc, char** argv) {
       }
       x = indy7::rk4_step(model, x, us, dt, have_wrench ? &wrench : nullptr,
                           use_friction ? &friction : nullptr);
-      // Joint range + velocity limits, the mj_step constraint analog
-      // (sim_node.cpp:293-299, indy7.xml:18-38).
-      indy7::apply_joint_limits(model, x);
+      // Joint range limits, the mj_step constraint analog
+      // (sim_node.cpp:293-299, indy7.xml:18-38); velocity saturation
+      // only with --vel-limit (MuJoCo does not enforce it).
+      indy7::apply_joint_limits(model, x, vel_limit);
     }
 
     if (step % publish_every == 0) {

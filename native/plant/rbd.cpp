@@ -329,12 +329,14 @@ State rk4_step(const Model& m, const State& x, const VecJ& u, double dt,
   return out;
 }
 
-void apply_joint_limits(const Model& m, State& x) {
+void apply_joint_limits(const Model& m, State& x, bool saturate_velocity) {
   for (int i = 0; i < NJ; ++i) {
     double q = x[i], v = x[NJ + i];
-    const double vl = m.velocity_limit[i];
-    if (v > vl) v = vl;
-    if (v < -vl) v = -vl;
+    if (saturate_velocity) {
+      const double vl = m.velocity_limit[i];
+      if (v > vl) v = vl;
+      if (v < -vl) v = -vl;
+    }
     if (q > m.q_upper[i]) {
       q = m.q_upper[i];
       if (v > 0.0) v = 0.0;

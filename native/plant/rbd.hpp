@@ -75,13 +75,16 @@ struct Friction {
 State rk4_step(const Model& m, const State& x, const VecJ& u, double dt,
                const Vec6* wrench_world, const Friction* friction = nullptr);
 
-// Hard joint stops + servo velocity saturation, applied after every
-// plant integrator substep.  Bit-identical semantics to the JAX plant's
-// sim/plant.py apply_joint_limits (the mj_step joint-range analog):
-//   1. v = clip(v, -velocity_limit, velocity_limit);
+// Hard joint stops (and optional servo velocity saturation), applied
+// after every plant integrator substep.  Bit-identical semantics to the
+// JAX plant's sim/plant.py apply_joint_limits (the mj_step joint-range
+// analog; MuJoCo does NOT enforce velocity limits, so saturation is an
+// opt-in actuator model):
+//   1. if saturate_velocity: v = clip(v, -velocity_limit, velocity_limit);
 //   2. q = clip(q, q_lower, q_upper), zeroing the outward velocity
 //      component where the clamp engages (perfectly inelastic stop).
-void apply_joint_limits(const Model& m, State& x);
+void apply_joint_limits(const Model& m, State& x,
+                        bool saturate_velocity = false);
 
 // Seeded inertial-parameter error: per-link mass and inertia scaled by
 // independent uniform factors in [1-pct, 1+pct].  splitmix64-based and

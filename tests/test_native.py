@@ -72,8 +72,8 @@ def test_native_matches_jax(jx, rng):
 
 
 def test_joint_limit_semantics(jx):
-    """Clamp + zero-outward-velocity + velocity saturation, exactly as
-    documented (sim/plant.py apply_joint_limits)."""
+    """Clamp + zero-outward-velocity (default) and opt-in velocity
+    saturation, exactly as documented (sim/plant.py apply_joint_limits)."""
     import jax.numpy as jnp
 
     from indy7_mpc_tpu.sim.plant import apply_joint_limits
@@ -91,15 +91,26 @@ def test_joint_limit_semantics(jx):
     np.testing.assert_allclose(
         q, [hi[0], lo[1], 1.0, hi[3], 0.0, lo[5]], atol=0
     )
-    # Outward velocity zeroed at an engaged stop; inward velocity kept
-    # (still subject to the velocity limit); unclamped joints only
-    # saturate at the velocity limit.
+    # Outward velocity zeroed at an engaged stop; everything else is kept
+    # untouched by default (MuJoCo enforces ranges, not velocity limits).
     assert v[0] == 0.0          # at upper, v>0 -> 0
     assert v[1] == 0.0          # at lower, v<0 -> 0
-    assert v[2] == vl[2]        # interior, saturated at +limit
+    assert v[2] == 5.0          # interior: velocity untouched by default
     assert v[3] == -0.5         # at upper but moving inward: kept
-    assert v[4] == -vl[4]       # interior, saturated at -limit
+    assert v[4] == -9.0         # interior: untouched
     assert v[5] == 0.2          # at lower but moving inward: kept
+
+    # Opt-in servo saturation clips interior velocities to the URDF limit.
+    sat = np.asarray(
+        apply_joint_limits(jx, jnp.asarray(x), velocity_saturation=True)
+    )
+    vs = sat[6:]
+    assert vs[2] == vl[2] and vs[4] == -vl[4]
+    # Parity with the native pass in both modes.
+    np.testing.assert_allclose(out, native.apply_joint_limits(x), atol=0)
+    np.testing.assert_allclose(
+        sat, native.apply_joint_limits(x, velocity_saturation=True), atol=0
+    )
 
 
 def test_joint_limit_parity_native(jx):

@@ -168,7 +168,11 @@ def test_kernel_rejection_escalates_rho():
     from indy7_mpc_tpu.solvers import sqp_pallas
 
     m = indy7(dtype=jnp.float32)
-    cost = CostConfig()
+    # Barrier off: the engineered warm starts sit ~150 rad outside the
+    # joint range, where the barrier dominates the merit (~1e8) and f32
+    # alpha ties flip against the f64 oracle.  This test exercises the
+    # rejection/rho machinery, which is barrier-independent.
+    cost = CostConfig(q_barrier=0.0)
     scfg = SQPConfig(max_iters=2)
     N, dt, B = 32, 0.01, 128
     rng = np.random.default_rng(3)

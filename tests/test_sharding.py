@@ -141,3 +141,96 @@ def test_sharded_tick_feedback_edge_stays_lane_sharded(model64):
     # And the feedback edge accepts it without resharding errors.
     out2 = tick(key, x0, x0, u_last, goals, X, U, out.f_batch)
     assert np.all(np.isfinite(np.asarray(out2.u)))
+
+
+@pytest.mark.slow
+def test_sharded_closed_loop_matches_single_device(model64):
+    """The lane-sharded closed loop (make_sharded_sampled_loop) must
+    reproduce run_sampled_mpc exactly (same seeds, same tick program —
+    mpc/sampled.py make_loop_tick is shared)."""
+    from indy7_mpc_tpu.config import MPCConfig
+    from indy7_mpc_tpu.mpc.sampled import init_loop_carry, run_sampled_mpc
+    from indy7_mpc_tpu.parallel import make_sharded_sampled_loop
+
+    m = model64
+    mpc_cfg = MPCConfig(N=6, dt=0.01)
+    sample_cfg = SampleConfig(batch_size=8, f_ext_std=5.0)
+    cost_cfg, sqp_cfg = CostConfig(), SQPConfig(max_iters=1)
+    steps = 4
+    x0 = jnp.zeros(12, jnp.float64)
+    hold = ee_pos(m, x0[:6])
+    ref = jnp.tile(hold, (steps + mpc_cfg.N + 1, 1))
+    f_true = jnp.asarray([4.0, 0.0, -6.0, 0, 0, 0], jnp.float64)
+    key = jax.random.PRNGKey(7)
+
+    _, tr_ref = run_sampled_mpc(
+        m, cost_cfg, sqp_cfg, mpc_cfg, sample_cfg, x0, ref, steps,
+        f_true0=f_true, key=key,
+    )
+
+    mesh = make_lane_mesh()
+    loop, shardings = make_sharded_sampled_loop(
+        m, cost_cfg, sqp_cfg, mpc_cfg, sample_cfg, mesh, ref, chunk=steps
+    )
+    c0 = jax.device_put(
+        init_loop_carry(m, mpc_cfg, sample_cfg, x0, f_true, key), shardings
+    )
+    c1, tr_sh = loop(c0)
+
+    np.testing.assert_allclose(
+        np.asarray(tr_sh.tracking_error), np.asarray(tr_ref.tracking_error),
+        rtol=1e-9, atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr_sh.u), np.asarray(tr_ref.u), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tr_sh.best_idx), np.asarray(tr_ref.best_idx)
+    )
+
+
+@pytest.mark.slow
+def test_32k_lane_sweep_on_virtual_mesh(model32):
+    """BASELINE.json's 32k-scenario config as a correctness sweep: a
+    32,768-lane sampled-MPC closed loop sharded over the 8-device mesh
+    (4,096 lanes per device) runs, stays finite, keeps the hypothesis
+    batch lane-sharded across ticks, and picks a consensus lane whose
+    wrench estimate is sane."""
+    from indy7_mpc_tpu.config import MPCConfig
+    from indy7_mpc_tpu.mpc.sampled import init_loop_carry
+    from indy7_mpc_tpu.parallel import LANE_AXIS, make_sharded_sampled_loop
+
+    m = model32
+    B = 32768
+    mpc_cfg = MPCConfig(N=4, dt=0.01)
+    sample_cfg = SampleConfig(batch_size=B, f_ext_std=10.0,
+                              f_ext_resample_std=0.5)
+    steps = 2
+    x0 = jnp.zeros(12, jnp.float32)
+    hold = ee_pos(m, x0[:6])
+    ref = jnp.tile(hold, (steps + mpc_cfg.N + 1, 1)).astype(jnp.float32)
+    f_true = jnp.asarray([8.0, 0.0, -12.0, 0, 0, 0], jnp.float32)
+
+    mesh = make_lane_mesh()
+    loop, shardings = make_sharded_sampled_loop(
+        m, CostConfig(), SQPConfig(max_iters=1), mpc_cfg, sample_cfg, mesh,
+        ref, chunk=1,
+    )
+    c0 = jax.device_put(
+        init_loop_carry(m, mpc_cfg, sample_cfg, x0, f_true,
+                        jax.random.PRNGKey(11)),
+        shardings,
+    )
+    carry = c0
+    for _ in range(steps):
+        carry, trace = loop(carry)
+        assert bool(jnp.all(jnp.isfinite(trace.u)))
+        assert bool(jnp.all(jnp.isfinite(trace.tracking_error)))
+    # Hypothesis batch still lane-sharded on the feedback edge.
+    spec = carry.f_batch.sharding.spec
+    assert len(spec) >= 1 and spec[0] == LANE_AXIS, spec
+    assert carry.f_batch.shape == (B, 6)
+    best = int(np.asarray(trace.best_idx)[-1])
+    assert 0 <= best < B
+    # The winning hypothesis is bounded by the sampling distribution.
+    assert float(jnp.max(jnp.abs(carry.f_batch))) < 10.0 * 6
