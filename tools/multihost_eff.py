@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Run the multi-process scaling-efficiency measurement at the production
+configuration and write MULTIHOST_EFF.json.
+
+Protocol (VERDICT r3 item 1): the full sampled-MPC closed loop at N=64,
+2 SQP iterations, B lanes, >=500 ticks, measured at 2 AND 4 processes on
+the gloo CPU rig, each against a single-process run owning the same
+total device count.  The loop carry (including the lane-sharded
+hypothesis batch) is device-resident across ticks; there is no per-tick
+host-side batch assembly (examples/multihost_bench.py).
+
+Usage: python tools/multihost_eff.py [--B 256] [--ticks 500] [--chunk 10]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+BENCH = os.path.join(ROOT, "examples", "multihost_bench.py")
+
+
+def run_eff(procs, B, ticks, chunk, port):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable, BENCH,
+            "--procs", str(procs), "--devices-per-proc", "1",
+            "--B", str(B), "--N", "64", "--sqp-iters", "2",
+            "--ticks", str(ticks), "--chunk", str(chunk),
+            "--port", str(port), "--efficiency",
+        ],
+        capture_output=True, text=True, timeout=14400, env=env, cwd=ROOT,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    lines = [json.loads(l) for l in out.stdout.splitlines()
+             if l.startswith("{")]
+    return lines[-1]  # the efficiency record
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--B", type=int, default=256)
+    ap.add_argument("--ticks", type=int, default=500)
+    ap.add_argument("--chunk", type=int, default=10)
+    ap.add_argument("--procs", default="2,4")
+    ap.add_argument("--out", default=os.path.join(ROOT, "MULTIHOST_EFF.json"))
+    args = ap.parse_args()
+
+    results = []
+    for i, procs in enumerate(int(p) for p in args.procs.split(",")):
+        rec = run_eff(procs, args.B, args.ticks, args.chunk,
+                      port=8510 + 10 * i)
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
+    doc = {
+        "protocol": (
+            "full sampled-MPC closed loop (solve+consensus+resample+plant"
+            "+reference advance), lane axis sharded over jax.distributed "
+            "gloo CPU rig, carry device-resident across ticks, chunked "
+            "lax.scan dispatch; efficiency = multi-process solves/s over "
+            "a single process owning the same total devices"
+        ),
+        "config": {"B": args.B, "N": 64, "sqp_iters": 2,
+                   "ticks": args.ticks, "chunk": args.chunk},
+        "results": results,
+        "target": ">=0.8 (BASELINE.md north star)",
+    }
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
