@@ -23,9 +23,10 @@ import numpy as np
 
 def find_runs(d):
     runs = {}
-    for f in glob.glob(os.path.join(d, "*_tracking_errors.npy")):
-        stem = f[: -len("_tracking_errors.npy")]
-        runs[stem] = True
+    for pat in ("*_tracking_errors.npy", "*/*_tracking_errors.npy"):
+        for f in glob.glob(os.path.join(d, pat)):
+            stem = f[: -len("_tracking_errors.npy")]
+            runs[stem] = True
     return sorted(runs)
 
 
