@@ -51,32 +51,46 @@ class UdpTransport:
         recv_timeout: float = 0.1,
     ):
         self.plant_addr = plant_addr
+        self.recv_timeout = recv_timeout
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.bind(listen_addr)
         self.sock.settimeout(recv_timeout)
 
+    @staticmethod
+    def _sim_time_of(pkt) -> Optional[float]:
+        if len(pkt) >= 1 + 16 * 8:
+            return float(
+                np.frombuffer(pkt[1 + 15 * 8:1 + 16 * 8], dtype="<f8")[0]
+            )
+        return None
+
     def recv_state(self) -> Optional[PlantState]:
         data = None
-        # Drain the queue: keep only the newest datagram (depth-1 topic).
+        best_t = None
+        # Drain the queue, keeping the NEWEST state by the plant's own
+        # sim-time stamp (protocol v2, 16th double) — the stamp is a
+        # monotone sequence number, so datagrams reordered inside the
+        # drain window cannot shadow a newer state with an older one.
+        # Stampless (v1) packets fall back to arrival order.
         while True:
             try:
                 pkt, _ = self.sock.recvfrom(512)
-                data = pkt
+                if len(pkt) >= 1 + 15 * 8 and pkt[0] == TAG_STATE:
+                    t = self._sim_time_of(pkt)
+                    if data is None or t is None or best_t is None \
+                            or t >= best_t:
+                        data = pkt
+                        best_t = t
                 self.sock.settimeout(0.0)
             except (socket.timeout, BlockingIOError):
                 break
-        self.sock.settimeout(0.1)
-        if data is None or len(data) < 1 + 15 * 8 or data[0] != TAG_STATE:
+        self.sock.settimeout(self.recv_timeout)
+        if data is None:
             return None
         vals = np.frombuffer(data[1:1 + 15 * 8], dtype="<f8")
-        sim_time = None
-        if len(data) >= 1 + 16 * 8:
-            sim_time = float(
-                np.frombuffer(data[1 + 15 * 8:1 + 16 * 8], dtype="<f8")[0]
-            )
         return PlantState(
             x=vals[:12].copy(), ee_pos=vals[12:15].copy(),
-            stamp=time.time(), sim_time=sim_time,
+            stamp=time.time(), sim_time=self._sim_time_of(data),
         )
 
     def send_command(self, u) -> None:

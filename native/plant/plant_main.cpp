@@ -14,7 +14,7 @@
 //   * external force applied at the EE with world-origin moment semantics
 //     (mj_applyFT analog, sim_node.cpp:309-325).
 //
-// Usage: plant_node [timestep=0.001] [publish_every=10]
+// Usage: plant_node [timestep=0.001] [publish_every=10] [--ports <plant> <ctrl>]
 //                   [--perturb <pct> <seed>] [--friction <kv> <kc>]
 //                   [--noise <std_Nm>] [--realtime-scale <s>]
 //   (timestep 1 ms with publish every 10 steps = 100 Hz state topic).
@@ -56,6 +56,7 @@ int main(int argc, char** argv) {
   int publish_every = 10;
   double perturb_pct = 0.0, noise_std = 0.0, realtime_scale = 1.0;
   bool vel_limit = false;  // --vel-limit: opt-in servo velocity saturation
+  int listen_port = 7461, ctrl_port = 7460;  // --ports <plant> <controller>
   unsigned long long perturb_seed = 0;
   indy7::Friction friction{};
   int pos = 0;
@@ -73,6 +74,9 @@ int main(int argc, char** argv) {
       realtime_scale = std::atof(argv[++i]);
     } else if (std::strcmp(argv[i], "--vel-limit") == 0) {
       vel_limit = true;
+    } else if (std::strcmp(argv[i], "--ports") == 0 && i + 2 < argc) {
+      listen_port = std::atoi(argv[++i]);   // plant listens here
+      ctrl_port = std::atoi(argv[++i]);     // controller listens here
     } else if (pos == 0) {
       dt = std::atof(argv[i]);
       ++pos;
@@ -100,7 +104,7 @@ int main(int argc, char** argv) {
   sockaddr_in listen_addr{};
   listen_addr.sin_family = AF_INET;
   listen_addr.sin_addr.s_addr = inet_addr("127.0.0.1");
-  listen_addr.sin_port = htons(7461);
+  listen_addr.sin_port = htons(listen_port);
   if (bind(sock, (sockaddr*)&listen_addr, sizeof(listen_addr)) != 0) {
     std::perror("bind");
     return 1;
@@ -108,7 +112,7 @@ int main(int argc, char** argv) {
   sockaddr_in ctrl_addr{};
   ctrl_addr.sin_family = AF_INET;
   ctrl_addr.sin_addr.s_addr = inet_addr("127.0.0.1");
-  ctrl_addr.sin_port = htons(7460);
+  ctrl_addr.sin_port = htons(ctrl_port);
 
   std::printf(
       "plant_node: dt=%g publish_every=%d (state at %g Hz) "
