@@ -136,6 +136,8 @@ def test_sqp_with_admm_backend_matches_riccati(model64, rng):
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # second ADMM-config compile; ADMM numerics are
+# covered by the quick oracle tests above
 def test_sqp_admm_state_warm_start_reduces_iterations(model64, rng):
     """SolverState carries the ADMM primal/dual iterates across solves
     (OSQP's object-reuse warm start, osqp_solver.py:137-143): re-solving

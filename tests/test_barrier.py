@@ -78,7 +78,7 @@ def test_solver_respects_barrier(model64):
     from indy7_mpc_tpu.solvers import sqp as sqp_mod
 
     m = model64
-    N, dt = 8, 0.01
+    N, dt = 6, 0.01
     hi = float(np.asarray(m.q_upper)[0])
     # Warm start already deep past the limit: the barrier must pull the
     # plan back inside; the unbarriered solver has no reason to.
@@ -88,7 +88,7 @@ def test_solver_respects_barrier(model64):
     U = jnp.zeros((N - 1, 6), jnp.float64)
     goals = jnp.tile(ee_pos(m, q_bad[:6]), (N, 1))
 
-    sqp_cfg = SQPConfig(max_iters=4)
+    sqp_cfg = SQPConfig(max_iters=3)
     res_b = sqp_mod.solve(
         m, CostConfig(q_barrier=200.0), sqp_cfg, dt, xs, goals, X, U
     )

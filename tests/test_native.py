@@ -34,6 +34,11 @@ def test_native_matches_jax(jx, rng):
     )
     from indy7_mpc_tpu.sim.plant import plant_step
 
+    import jax
+
+    jstep = jax.jit(lambda x, u, w: plant_step(
+        jx, x, u, 0.01, wrench_world=w, enforce_limits=False))
+
     for _ in range(5):
         q = rng.normal(size=6) * 0.8
         v = rng.normal(size=6)
@@ -63,9 +68,7 @@ def test_native_matches_jax(jx, rng):
         np.testing.assert_allclose(
             native.rk4_step(x, tau, 0.01, w),
             np.asarray(
-                plant_step(jx, jnp.asarray(x), jnp.asarray(tau), 0.01,
-                           wrench_world=jnp.asarray(w),
-                           enforce_limits=False)
+                jstep(jnp.asarray(x), jnp.asarray(tau), jnp.asarray(w))
             ),
             atol=1e-10,
         )
@@ -122,15 +125,19 @@ def test_joint_limit_parity_native(jx):
 
     from indy7_mpc_tpu.sim.plant import apply_joint_limits, plant_step
 
+    import jax
+
     hi = float(np.asarray(jx.q_upper)[0])
     x = np.zeros(12)
     x[0] = hi - 0.02   # start just inside the stop
     u = np.array([60.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    uj = jnp.asarray(u)
+    step = jax.jit(lambda xx: plant_step(jx, xx, uj, 0.01))  # limits on
     xj = jnp.asarray(x)
     xn = x.copy()
     hit = False
     for _ in range(40):
-        xj = plant_step(jx, xj, jnp.asarray(u), 0.01)  # enforces limits
+        xj = step(xj)
         xn = native.apply_joint_limits(native.rk4_step(xn, u, 0.01))
         np.testing.assert_allclose(np.asarray(xj), xn, atol=1e-12)
         if np.asarray(xj)[0] == hi:

@@ -89,14 +89,20 @@ def test_friction_dissipates_energy(model64):
         pe = -jnp.sum(m.mass * (com_w @ m.gravity))
         return ke + pe
 
+    import jax as _jax
+
     x = jnp.asarray(X0)
     u = jnp.zeros(6, jnp.float64)
     e0 = float(energy(x))
-    xf = x
-    for _ in range(50):
-        xf = plant_step(m, xf, u, 0.002, friction=(0.3, 0.5),
-                        clamp_torque=False)
-    ef = float(energy(xf))
+
+    @_jax.jit
+    def swing(x):
+        step = lambda xx, _: (plant_step(m, xx, u, 0.002,
+                                         friction=(0.3, 0.5),
+                                         clamp_torque=False), None)
+        return _jax.lax.scan(step, x, None, length=50)[0]
+
+    ef = float(energy(swing(x)))
     assert ef < e0 - 1e-3
 
 

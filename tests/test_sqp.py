@@ -110,6 +110,8 @@ def test_sqp_reduces_tracking_cost(model64):
     assert np.linalg.norm(eeT - g) < np.linalg.norm(ee0 - g)
 
 
+@pytest.mark.slow  # determinism also covered by the quick
+# test_sampled_mpc_deterministic; this f64 B-lane compile is heavy
 def test_batch_solve_lane_determinism(model64):
     """Identical lanes give identical trajectories — the generalization of
     the reference's in-loop allclose assert (gato_mpc_batch.py:124-134)."""
