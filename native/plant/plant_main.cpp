@@ -57,6 +57,7 @@ int main(int argc, char** argv) {
   double perturb_pct = 0.0, noise_std = 0.0, realtime_scale = 1.0;
   bool vel_limit = false;  // --vel-limit: opt-in servo velocity saturation
   int listen_port = 7461, ctrl_port = 7460;  // --ports <plant> <controller>
+  int mirror_port = 0;  // --mirror <port>: live-telemetry tap (GLFW role)
   unsigned long long perturb_seed = 0;
   indy7::Friction friction{};
   int pos = 0;
@@ -77,6 +78,8 @@ int main(int argc, char** argv) {
     } else if (std::strcmp(argv[i], "--ports") == 0 && i + 2 < argc) {
       listen_port = std::atoi(argv[++i]);   // plant listens here
       ctrl_port = std::atoi(argv[++i]);     // controller listens here
+    } else if (std::strcmp(argv[i], "--mirror") == 0 && i + 1 < argc) {
+      mirror_port = std::atoi(argv[++i]);   // duplicate state packets here
     } else if (pos == 0) {
       dt = std::atof(argv[i]);
       ++pos;
@@ -113,6 +116,10 @@ int main(int argc, char** argv) {
   ctrl_addr.sin_family = AF_INET;
   ctrl_addr.sin_addr.s_addr = inet_addr("127.0.0.1");
   ctrl_addr.sin_port = htons(ctrl_port);
+  sockaddr_in mirror_addr{};
+  mirror_addr.sin_family = AF_INET;
+  mirror_addr.sin_addr.s_addr = inet_addr("127.0.0.1");
+  mirror_addr.sin_port = htons(mirror_port);
 
   std::printf(
       "plant_node: dt=%g publish_every=%d (state at %g Hz) "
@@ -177,6 +184,12 @@ int main(int argc, char** argv) {
       std::memcpy(out + 1 + 15 * 8, &sim_time, 8);
       sendto(sock, out, sizeof(out), 0, (sockaddr*)&ctrl_addr,
              sizeof(ctrl_addr));
+      if (mirror_port) {
+        // Live-telemetry tap: the interactive-viewer role the reference
+        // fills with GLFW (sim_node.cpp:33-76); see tools/live_view.py.
+        sendto(sock, out, sizeof(out), 0, (sockaddr*)&mirror_addr,
+               sizeof(mirror_addr));
+      }
     }
     ++step;
 
