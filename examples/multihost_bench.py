@@ -43,6 +43,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def worker(args) -> None:
     from indy7_mpc_tpu.parallel import distributed as dist
 
+    if args.devices_per_proc > 0:
+        # CPU rig: enable x64 in the ENTRY POINT (not library init) so
+        # the readable Riccati sweep takes its f64 stabilization path at
+        # N=64/f32 (ops/riccati.py solve).  The measured solver here is
+        # therefore the f64 vmap sweep, NOT the f32 fused TPU kernel —
+        # the scaling numbers quantify the collective/fabric overhead,
+        # not kernel throughput (see MULTIHOST_EFF.json).
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     dist.initialize(
         args.coordinator,
         args.procs,

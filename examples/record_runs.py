@@ -98,6 +98,7 @@ def run_device_resident(model, B, ticks, plant_cfg, out_dir, tag,
 
     N, dt = 64, 0.01
     dtype = jnp.float32
+    chunk = max(1, min(chunk, ticks))  # short runs: don't overshoot 2x
     cost_cfg = CostConfig()
     sqp_cfg = SQPConfig(max_iters=2)
     mpc_cfg = MPCConfig(N=N, dt=dt)
@@ -135,7 +136,7 @@ def run_device_resident(model, B, ticks, plant_cfg, out_dir, tag,
 
     rec = RunRecorder(out_dir=os.path.join(out_dir, tag), save_interval=1e9)
     t0 = time.perf_counter()
-    n_chunks = max(1, ticks // chunk)
+    n_chunks = -(-ticks // chunk)  # ceil: cover the requested tick count
     for _ in range(n_chunks):
         tc = time.perf_counter()
         carry, trace = run_chunk(carry)

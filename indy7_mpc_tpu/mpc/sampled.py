@@ -103,6 +103,21 @@ def sampled_tick(
     """
     from ..solvers.select import default_batch_solve_fn
 
+    # Pin f32 matmul precision: on TPU the default lowers the small
+    # consensus/FK matmul chains to bf16 MXU passes whose noise is far
+    # above f32 (see sim/plant.py plant_step).  No-op on CPU.
+    with jax.default_matmul_precision("highest"):
+        return _sampled_tick_impl(
+            model, cost_cfg, sqp_cfg, sample_cfg, dt, key, x_obs, x_last,
+            u_last, goals, X_warm, U_warm, f_batch, batch_solve_fn,
+            default_batch_solve_fn,
+        )
+
+
+def _sampled_tick_impl(
+    model, cost_cfg, sqp_cfg, sample_cfg, dt, key, x_obs, x_last, u_last,
+    goals, X_warm, U_warm, f_batch, batch_solve_fn, default_batch_solve_fn,
+):
     B = f_batch.shape[0]
     xs_b = jnp.tile(x_obs, (B, 1))
     X_b = jnp.tile(X_warm.at[0].set(x_obs), (B, 1, 1))
@@ -165,6 +180,7 @@ def make_loop_tick(
     batch_solve_fn=None,
     plant_cfg: Optional[PlantConfig] = None,
     plant_model: Optional[RobotModel] = None,
+    fused: object = "auto",
 ):
     """``tick(carry, _) -> (carry, SampledTrace)`` — one closed-loop step
     (controller tick + ground-truth plant step + reference advance).
@@ -173,7 +189,31 @@ def make_loop_tick(
     ``lax.scan``) and the lane-sharded multi-host loop
     (parallel/sharding.py make_sharded_sampled_loop), so the distributed
     path scans the *identical* program.
+
+    ``fused="auto"`` (default) selects the fully-fused two-kernel tick
+    (mpc/fused_tick.py) whenever it covers the config: TPU device, the
+    production solver config (gn + riccati), and no injected
+    ``batch_solve_fn`` (the sharded path pjit-composes its own solve).
+    ``fused=True`` forces it (raising outside coverage), ``fused=False``
+    keeps this readable XLA tick — the fused path's oracle
+    (tests/test_fused_tick.py).
     """
+    if fused != False:  # noqa: E712  ("auto" or True)
+        from ..solvers.select import is_tpu_device, kernel_supports
+
+        covered = (
+            batch_solve_fn is None
+            and kernel_supports(cost_cfg, sqp_cfg)
+            and is_tpu_device()
+        )
+        if fused == True or covered:  # noqa: E712
+            from .fused_tick import make_fused_loop_tick
+
+            return make_fused_loop_tick(
+                model, cost_cfg, sqp_cfg, mpc_cfg, sample_cfg, ref_traj,
+                f_true_walk=f_true_walk, plant_cfg=plant_cfg,
+                plant_model=plant_model,
+            )
     N, dt = mpc_cfg.N, mpc_cfg.dt
     pm = model if plant_model is None else plant_model
     ref_traj = jnp.asarray(ref_traj)
@@ -186,6 +226,10 @@ def make_loop_tick(
         plant_fn = lambda x, u, w, k: _step(x, u, w, k, dt)
 
     def tick(carry: SampledLoopCarry, _):
+        with jax.default_matmul_precision("highest"):
+            return _tick(carry)
+
+    def _tick(carry: SampledLoopCarry):
         key, k_tick, k_walk, k_plant = jax.random.split(carry.key, 4)
         goals = jax.lax.dynamic_slice_in_dim(ref_traj, carry.ref_offset, N, 0)
 
@@ -279,6 +323,7 @@ def run_sampled_mpc(
     batch_solve_fn=None,
     plant_cfg: Optional[PlantConfig] = None,
     plant_model: Optional[RobotModel] = None,
+    fused: object = "auto",
 ):
     """Pure-JAX closed loop: sampled controller vs. device plant.
 
@@ -306,6 +351,7 @@ def run_sampled_mpc(
         batch_solve_fn=batch_solve_fn,
         plant_cfg=plant_cfg,
         plant_model=plant_model,
+        fused=fused,
     )
     carry0 = init_loop_carry(model, mpc_cfg, sample_cfg, x0, f_true0, key)
     return jax.lax.scan(tick, carry0, None, length=num_steps)

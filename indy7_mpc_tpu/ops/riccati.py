@@ -39,6 +39,31 @@ def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
+_warned_f32 = False
+
+
+def _warn_f32_long_horizon() -> None:
+    """One-time trace-time warning: an f32 sweep at N>=32 without x64
+    available skips the documented f64 stabilization upcast (ADVICE r4).
+    The recursion can reach cond ~1e11 at N=64 and relies on merit
+    rejection alone; enable jax_enable_x64 in the entry point (as
+    tests/conftest.py and examples/multihost_bench.py do) or use the
+    fused TPU kernel, which is f32-stable by construction."""
+    global _warned_f32
+    if _warned_f32:
+        return
+    _warned_f32 = True
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "f32 Riccati sweep at N>=32 without jax_enable_x64: the f64 "
+        "stabilization upcast (ops/riccati.py solve) is unavailable; "
+        "long-horizon sweeps may go unstable and rely on merit "
+        "rejection.  Enable x64 in your entry point or use the fused "
+        "TPU kernel."
+    )
+
+
 def backward_pass(blocks: QPBlocks, rho):
     """Backward Riccati recursion; returns gains (K, kff) per knot."""
     nu = blocks.B.shape[-1]
@@ -115,6 +140,8 @@ def solve(blocks: QPBlocks, xs, rho) -> RiccatiSolution:
         sol = solve(blocks64, xs.astype(jnp.float64),
                     jnp.asarray(rho, jnp.float64))
         return RiccatiSolution(*(a.astype(dtype) for a in sol))
+    if dtype == jnp.float32 and blocks.A.shape[0] + 1 >= 32:
+        _warn_f32_long_horizon()
     K, kff = backward_pass(blocks, rho)
     X, U = forward_pass(blocks, K, kff, xs)
     return RiccatiSolution(X=X, U=U, K=K, kff=kff)

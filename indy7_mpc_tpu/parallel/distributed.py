@@ -56,9 +56,12 @@ def initialize(
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
-        # x64 available so the readable Riccati sweep can run its f64
-        # stabilization path at N=64/f32 (ops/riccati.py solve).
-        jax.config.update("jax_enable_x64", True)
+        # NOTE: the CPU-rig worker entry points (examples/
+        # multihost_bench.py, tests/test_multihost.py) additionally
+        # enable jax_enable_x64 so the readable Riccati sweep runs its
+        # f64 stabilization path at N=64/f32 (ops/riccati.py solve).
+        # That flag is deliberately NOT flipped here: library init must
+        # not change dtype-promotion semantics process-wide (ADVICE r4).
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

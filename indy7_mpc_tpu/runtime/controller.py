@@ -281,6 +281,12 @@ def run_control_loop(
         recorder.record(
             elapsed, tracking_error, ee_rec, info["ee_ref"],
             state.x, info["solve_time_us"],
+            # Estimator-accuracy sidecars (RunRecorder.EXTRA_ARRAYS):
+            # winning hypothesis vs the wrench actually applied.
+            f_est=info["f_est"],
+            f_true=np.concatenate(
+                [controller.f_ext_actual, np.zeros(3)]
+            ),
         )
         recorder.maybe_save()
         ticks += 1

@@ -57,12 +57,20 @@ class RunRecorder:
         "joint_positions",
         "solve_times",
     )
+    # Sidecar arrays BEYOND the reference schema (kept in separate .npy
+    # files so the six-array layout above stays byte-compatible): the
+    # per-tick winning wrench hypothesis and the true plant wrench — the
+    # estimator-accuracy record the reference only ever printed to stdout
+    # (gato_controller.py:252-256).  Saved only when ticks provided them.
+    EXTRA_ARRAYS = ("f_est", "f_true")
 
     def __init__(self, out_dir: str = "stats", save_interval: float = 35.0):
         self.out_dir = out_dir
         self.save_interval = save_interval
         self._last_save = time.time()
-        self._data: Dict[str, List] = {k: [] for k in self.ARRAYS}
+        self._data: Dict[str, List] = {
+            k: [] for k in self.ARRAYS + self.EXTRA_ARRAYS
+        }
 
     def record(
         self,
@@ -72,6 +80,8 @@ class RunRecorder:
         ee_ref_position,
         joint_position,
         solve_time_us: float,
+        f_est=None,
+        f_true=None,
     ) -> None:
         """Append one tick.  Array arguments may be device arrays: they
         are stored raw and fetched in ONE bulk transfer at save time, so
@@ -82,12 +92,18 @@ class RunRecorder:
         self._data["ee_ref_positions"].append(ee_ref_position)
         self._data["joint_positions"].append(joint_position)
         self._data["solve_times"].append(float(solve_time_us))
+        if f_est is not None:
+            self._data["f_est"].append(f_est)
+        if f_true is not None:
+            self._data["f_true"].append(f_true)
 
     def record_trace(self, trace, dts, solve_times_us) -> None:
         """Bulk-record a SampledTrace / TrackingTrace from a device run."""
         n = len(np.asarray(trace.tracking_error))
         dts = np.broadcast_to(np.asarray(dts, float), (n,))
         st = np.broadcast_to(np.asarray(solve_times_us, float), (n,))
+        f_est = getattr(trace, "f_est", None)
+        f_true = getattr(trace, "f_true", None)
         for i in range(n):
             self.record(
                 dts[i],
@@ -96,6 +112,8 @@ class RunRecorder:
                 np.asarray(trace.ee_ref)[i],
                 np.asarray(trace.q)[i],
                 st[i],
+                f_est=None if f_est is None else np.asarray(f_est)[i],
+                f_true=None if f_true is None else np.asarray(f_true)[i],
             )
 
     def maybe_save(self, force: bool = False) -> Optional[str]:
@@ -125,6 +143,9 @@ class RunRecorder:
         stem = os.path.join(self.out_dir, datetime.now().strftime("%H%M%S"))
         for name in self.ARRAYS:
             np.save(f"{stem}_{name}.npy", self._fetch(name))
+        for name in self.EXTRA_ARRAYS:
+            if self._data[name]:
+                np.save(f"{stem}_{name}.npy", self._fetch(name))
         return stem
 
     def summary(self) -> Dict[str, float]:

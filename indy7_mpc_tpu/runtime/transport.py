@@ -71,16 +71,21 @@ class UdpTransport:
         # sim-time stamp (protocol v2, 16th double) — the stamp is a
         # monotone sequence number, so datagrams reordered inside the
         # drain window cannot shadow a newer state with an older one.
-        # Stampless (v1) packets fall back to arrival order.
+        # Stampless (v1) packets fall back to arrival order, but never
+        # displace a stamped packet: once best_t is set, only a newer
+        # stamp wins (otherwise one stray v1 datagram would reset the
+        # reorder guard and let an older stamped packet through).
         while True:
             try:
                 pkt, _ = self.sock.recvfrom(512)
                 if len(pkt) >= 1 + 15 * 8 and pkt[0] == TAG_STATE:
                     t = self._sim_time_of(pkt)
-                    if data is None or t is None or best_t is None \
-                            or t >= best_t:
+                    if data is None or (
+                        t is None and best_t is None
+                    ) or (t is not None and (best_t is None or t >= best_t)):
                         data = pkt
-                        best_t = t
+                        if t is not None:
+                            best_t = t
                 self.sock.settimeout(0.0)
             except (socket.timeout, BlockingIOError):
                 break

@@ -140,6 +140,24 @@ def plant_step(
         noise re-drawn per substep (the MJCF actuator-noise analog,
         indy7.xml:62-75).
     """
+    # Ground-truth physics must not run at the TPU's default (bf16) MXU
+    # matmul precision: the small 3x3/6x6 chains in RNEA/FK amplify the
+    # ~1e-3 bf16 noise into O(1) velocity errors through RK4 (measured:
+    # 0.88 rad/s max single-step deviation vs f32; exact-f32 multiply
+    # costs nothing at these shapes).  Trace-time context, so this pins
+    # every matmul traced below without touching global config.
+    with jax.default_matmul_precision("highest"):
+        return _plant_step_impl(
+            model, x, u, dt, wrench_world, substeps, clamp_torque,
+            friction, torque_noise_std, key, enforce_limits,
+            velocity_saturation,
+        )
+
+
+def _plant_step_impl(
+    model, x, u, dt, wrench_world, substeps, clamp_torque, friction,
+    torque_noise_std, key, enforce_limits, velocity_saturation,
+):
     if clamp_torque:
         u = jnp.clip(u, -model.effort_limit, model.effort_limit)
     h = dt / substeps
@@ -216,4 +234,5 @@ def predict_next_states(model: RobotModel, x, u, dt: float, wrench_batch):
     def one(w):
         return plant_step(model, x, u, dt, wrench_world=w)
 
-    return jax.vmap(one)(wrench_batch)
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(one)(wrench_batch)
