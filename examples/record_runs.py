@@ -75,7 +75,7 @@ def spawn_plant_node(plant_cfg, dt, realtime_scale=1.0):
 
 
 def run_device_resident(model, B, ticks, plant_cfg, out_dir, tag,
-                        chunk=100):
+                        chunk=100, mirror_port=None):
     """Device-resident recording: the ENTIRE closed loop (B-lane solve +
     consensus + resample + perturbed plant + reference advance) runs as
     jitted ``lax.scan`` chunks on the chip — the pure-JAX north-star mode
@@ -134,15 +134,37 @@ def run_device_resident(model, B, ticks, plant_cfg, out_dir, tag,
     jax.block_until_ready(carry_w)
     init_s = time.perf_counter() - t_init0
 
+    # Live-telemetry tap for the device-resident flagship mode: after
+    # each chunk dispatch, replay the chunk's states onto the live_view
+    # mirror port in the plant_node wire format (tools/live_view.py) —
+    # the same viewer covers all three transports.
+    mirror_sock = None
+    if mirror_port:
+        import socket as _socket
+
+        mirror_sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        mirror_addr = ("127.0.0.1", int(mirror_port))
+
     rec = RunRecorder(out_dir=os.path.join(out_dir, tag), save_interval=1e9)
     t0 = time.perf_counter()
     n_chunks = -(-ticks // chunk)  # ceil: cover the requested tick count
+    sim_t = 0.0
     for _ in range(n_chunks):
         tc = time.perf_counter()
         carry, trace = run_chunk(carry)
         jax.block_until_ready(trace.tracking_error)
         per_tick_us = (time.perf_counter() - tc) / chunk * 1e6
         rec.record_trace(trace, dts=0.01, solve_times_us=per_tick_us)
+        if mirror_sock is not None:
+            xs = np.asarray(trace.x, "<f8")
+            ees = np.asarray(trace.ee_pos, "<f8")
+            for i in range(xs.shape[0]):
+                sim_t += dt
+                mirror_sock.sendto(
+                    bytes([1]) + xs[i].tobytes() + ees[i].tobytes()
+                    + np.asarray([sim_t], "<f8").tobytes(),
+                    mirror_addr,
+                )
     wall = time.perf_counter() - t0
     stem = rec.save()
     st = np.asarray(rec._data["solve_times"])
@@ -167,7 +189,7 @@ def run_device_resident(model, B, ticks, plant_cfg, out_dir, tag,
 
 
 def run_one(model, B, ticks, plant_cfg, out_dir, tag, transport="inproc",
-            realtime_scale=1.0):
+            realtime_scale=1.0, mirror_port=None):
     from indy7_mpc_tpu.config import (
         CostConfig, MPCConfig, SampleConfig, SQPConfig,
     )
@@ -209,7 +231,8 @@ def run_one(model, B, ticks, plant_cfg, out_dir, tag, transport="inproc",
         # drives joints 4/5 into their stops on the fig-8 approach.
         x0 = np.zeros(12)
         x0[:6] = INIT_Q
-        plant = InProcessPlant(model, x0, dt, plant_cfg=plant_cfg)
+        plant = InProcessPlant(model, x0, dt, plant_cfg=plant_cfg,
+                               mirror_port=mirror_port)
 
     rec = RunRecorder(out_dir=os.path.join(out_dir, tag), save_interval=1e9)
     t0 = time.perf_counter()
@@ -322,6 +345,9 @@ def main():
     )
     ap.add_argument("--no-summary", action="store_true",
                     help="skip rewriting BASELINE_TPU.md")
+    ap.add_argument("--mirror", type=int, default=None,
+                    help="device mode: replay each chunk's states onto "
+                         "this live_view mirror port (tools/live_view.py)")
     args = ap.parse_args()
 
     from indy7_mpc_tpu.utils.cache import enable_cache
@@ -343,13 +369,15 @@ def main():
             if args.transport == "device":
                 rows.append(
                     run_device_resident(model, B, args.ticks, plant_cfg,
-                                        args.out, tag)
+                                        args.out, tag,
+                                        mirror_port=args.mirror)
                 )
             else:
                 rows.append(
                     run_one(model, B, args.ticks, plant_cfg, args.out, tag,
                             transport=args.transport,
-                            realtime_scale=args.realtime_scale)
+                            realtime_scale=args.realtime_scale,
+                            mirror_port=args.mirror)
                 )
     if not args.no_summary:
         write_summary(rows, args.ticks)

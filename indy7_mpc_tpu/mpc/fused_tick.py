@@ -155,6 +155,7 @@ def make_fused_loop_tick(
             best_idx=ep.best,
             f_est=ep.f_est,
             f_true=carry.f_true,
+            x=carry.x,
         )
         new_carry = SampledLoopCarry(
             x=ep.x_next.astype(carry.x.dtype),

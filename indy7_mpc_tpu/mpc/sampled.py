@@ -167,6 +167,7 @@ class SampledTrace(NamedTuple):
     best_idx: jnp.ndarray        # (T,)
     f_est: jnp.ndarray           # (T, 6)
     f_true: jnp.ndarray          # (T, 6)
+    x: jnp.ndarray = None        # (T, nx) full plant state (live telemetry)
 
 
 def make_loop_tick(
@@ -266,6 +267,7 @@ def make_loop_tick(
             best_idx=out.best_idx,
             f_est=out.f_est,
             f_true=carry.f_true,
+            x=carry.x,
         )
         new_carry = SampledLoopCarry(
             x=x_next,

@@ -256,6 +256,10 @@ def make_sharded_sampled_loop(
         f_true_walk=f_true_walk,
         batch_solve_fn=batch_solve_fn,
         plant_cfg=plant_cfg,
+        # The sharded loop composes its own solve (shard_mapped kernel or
+        # the XLA-partitioned vmap solver); the single-device fused tick
+        # must not hijack the batch_solve_fn=None (vmap) case on TPU.
+        fused=False,
     )
 
     carry_shardings = SampledLoopCarry(

@@ -156,6 +156,20 @@ class SampledController:
         }
         return np.asarray(u), info
 
+    def reset_warm_start(self) -> None:
+        """Controller-side companion to a plant reset (transport
+        ``send_reset``): drop the warm-start trajectory and last
+        state/control so the next tick cold-starts from the fresh plant
+        pose instead of chasing the pre-reset trajectory.  Hypotheses,
+        RNG, and the reference offset are kept (the reference's 'R'
+        reset likewise leaves the controller process running,
+        sim_node.cpp:107-130)."""
+        N = self.mpc_cfg.N
+        self.X_best = jnp.zeros((N, self.model.nx), jnp.float32)
+        self.U_best = jnp.zeros((N - 1, self.model.nu), jnp.float32)
+        self.x_last = None
+        self.u_last = jnp.zeros(self.model.nu, jnp.float32)
+
     def save_checkpoint(self, path: str) -> str:
         """Persist the controller's full warm-start/estimator state.
 

@@ -27,6 +27,9 @@ import numpy as np
 TAG_STATE = 1      # plant -> controller: q (6), v (6), ee_pos (3)
 TAG_COMMAND = 2    # controller -> plant: torque (6)
 TAG_WRENCH = 3     # controller -> plant: world wrench force (3)
+TAG_RESET = 4      # controller -> plant: reset to the initial pose and
+                   # hold for a fresh command (the reference sim's 'R'
+                   # key, sim_node.cpp:44-46, 107-130, 288-291)
 
 
 class PlantState(NamedTuple):
@@ -108,6 +111,10 @@ class UdpTransport:
         f = np.asarray(force3, "<f8")
         self.sock.sendto(bytes([TAG_WRENCH]) + f.tobytes(), self.plant_addr)
 
+    def send_reset(self) -> None:
+        """Reset the plant to its initial pose (plant_node kTagReset)."""
+        self.sock.sendto(bytes([TAG_RESET]), self.plant_addr)
+
     def close(self) -> None:
         self.sock.close()
 
@@ -123,7 +130,8 @@ class InProcessPlant:
     """
 
     def __init__(self, model, x0, dt: float, substeps: int = 1,
-                 plant_cfg=None, noise_seed: int = 123):
+                 plant_cfg=None, noise_seed: int = 123,
+                 mirror_port: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
@@ -132,8 +140,18 @@ class InProcessPlant:
 
         self.model = model
         self.dt = dt
-        self.x = jnp.asarray(x0, jnp.float32)
+        self._x0 = jnp.asarray(x0, jnp.float32)
+        self.x = self._x0
         self.wrench = jnp.zeros(6, jnp.float32)
+        # Live-telemetry tap (tools/live_view.py): duplicate each state
+        # onto a local mirror port in the plant_node wire format, so the
+        # in-process flagship mode has the same live view as the native
+        # plant's --mirror (the reference's GLFW role).
+        self._mirror = None
+        self._sim_time = 0.0
+        if mirror_port:
+            self._mirror = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self._mirror_addr = ("127.0.0.1", int(mirror_port))
         if plant_cfg is None:
             raw_step = lambda x, u, w, k: plant_step(
                 model, x, u, dt, wrench_world=w, substeps=substeps
@@ -177,11 +195,35 @@ class InProcessPlant:
         self.x, self._key = self._step(
             self.x, jnp.asarray(u, jnp.float32), self.wrench, self._key
         )
+        self._sim_time += self.dt
+        if self._mirror is not None:
+            self.mirror_state(self.x, self._sim_time)
 
     def send_wrench(self, force3) -> None:
         import jax.numpy as jnp
 
         self.wrench = self.wrench.at[:3].set(jnp.asarray(force3, jnp.float32))
 
+    def send_reset(self) -> None:
+        """Back to the initial pose, zero velocity (plant_node kTagReset
+        / sim_node.cpp 'R' semantics); sim time stays monotone."""
+        self.x = self._x0
+
+    def mirror_state(self, x, sim_time: float) -> None:
+        """Emit one plant_node-format state packet on the mirror port
+        (no-op without ``mirror_port``)."""
+        if self._mirror is None:
+            return
+        x = np.asarray(x, "<f8")
+        ee = np.asarray(self._ee(x.astype(np.float32)), "<f8")
+        # Wire format (protocol v2): tag, 12 state doubles, 3 EE doubles,
+        # sim-time double — identical to plant_node's state packet.
+        pkt = (
+            bytes([TAG_STATE]) + x.tobytes() + ee.tobytes()
+            + np.asarray([sim_time], "<f8").tobytes()
+        )
+        self._mirror.sendto(pkt, self._mirror_addr)
+
     def close(self) -> None:
-        pass
+        if self._mirror is not None:
+            self._mirror.close()

@@ -48,6 +48,12 @@ namespace {
 constexpr unsigned char kTagState = 1;
 constexpr unsigned char kTagCommand = 2;
 constexpr unsigned char kTagWrench = 3;
+// Reset to the fixed initial pose and hold until a fresh command — the
+// reference sim's 'R' key (sim_node.cpp:44-46, 107-130, 288-291), as a
+// protocol message so a crashed/diverged run recovers without a process
+// restart.  Sim time keeps running (the controller's reference clock
+// stays monotone).
+constexpr unsigned char kTagReset = 4;
 
 }  // namespace
 
@@ -152,6 +158,13 @@ int main(int argc, char** argv) {
         std::memcpy(wrench.data(), buf + 1, 3 * 8);
         wrench[3] = wrench[4] = wrench[5] = 0.0;
         have_wrench = true;
+      } else if (buf[0] == kTagReset) {
+        // 'R'-key semantics: back to the initial pose, zero velocity,
+        // wait for a fresh command (sim_node.cpp:107-130, 288-291).
+        x = indy7::State{};
+        for (int i = 0; i < 6; ++i) x[i] = init_q[i];
+        u = indy7::VecJ{};
+        command_received = false;
       }
     }
 
