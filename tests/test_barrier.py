@@ -89,12 +89,17 @@ def test_solver_respects_barrier(model64):
     goals = jnp.tile(ee_pos(m, q_bad[:6]), (N, 1))
 
     sqp_cfg = SQPConfig(max_iters=3)
-    res_b = sqp_mod.solve(
+    # jit both solves: eager per-op dispatch of the f64 solver costs
+    # ~2 min on this box; compiled (and persistently cached) it is
+    # seconds (quick-lane budget, VERDICT r4 #6).
+    solve_b = jax.jit(lambda xs, goals, X, U: sqp_mod.solve(
         m, CostConfig(q_barrier=200.0), sqp_cfg, dt, xs, goals, X, U
-    )
-    res_0 = sqp_mod.solve(
+    ))
+    solve_0 = jax.jit(lambda xs, goals, X, U: sqp_mod.solve(
         m, CostConfig(q_barrier=0.0), sqp_cfg, dt, xs, goals, X, U
-    )
+    ))
+    res_b = solve_b(xs, goals, X, U)
+    res_0 = solve_0(xs, goals, X, U)
     q0_b = np.asarray(res_b.X)[1:, 0]   # x0 is pinned; later knots move
     q0_0 = np.asarray(res_0.X)[1:, 0]
     # Barrier drives the tail of the plan back toward the range; the

@@ -52,7 +52,7 @@ def test_tracking_holds_station(model64):
     ee0 = ee_pos(m, x0[:6])
     ref = jnp.tile(ee0, (200, 1))
     _, trace = jax.jit(
-        lambda x0: run_tracking_mpc(m, COST, SQP, mpc_cfg, x0, ref, 80)
+        lambda x0: run_tracking_mpc(m, COST, SQP, mpc_cfg, x0, ref, 40)
     )(x0)
     err = np.asarray(trace.tracking_error)
     assert err.max() < 0.05, err.max()
@@ -69,7 +69,7 @@ def test_tracking_fig8(model64):
         angle_offset=0.0,
     )
     _, trace = jax.jit(
-        lambda x0: run_tracking_mpc(m, COST, SQP, mpc_cfg, x0, ref, 100)
+        lambda x0: run_tracking_mpc(m, COST, SQP, mpc_cfg, x0, ref, 60)
     )(x0)
     err = np.asarray(trace.tracking_error)
     assert np.all(np.isfinite(err))
@@ -89,7 +89,7 @@ def test_sampled_mpc_runs_and_estimates(model64):
     key = jax.random.PRNGKey(42)
     final, trace = jax.jit(
         lambda x0, key: run_sampled_mpc(
-            m, COST, SQP, mpc_cfg, sample_cfg, x0, ref, 60, f_true, key,
+            m, COST, SQP, mpc_cfg, sample_cfg, x0, ref, 50, f_true, key,
             f_true_walk=False,
         )
     )(x0, key)
@@ -121,7 +121,7 @@ def test_sampled_mpc_deterministic(model64):
     f_true = jnp.zeros(6, jnp.float64)
     run = jax.jit(
         lambda key: run_sampled_mpc(
-            m, COST, SQP, mpc_cfg, sample_cfg, x0, ref, 20, f_true, key,
+            m, COST, SQP, mpc_cfg, sample_cfg, x0, ref, 10, f_true, key,
             f_true_walk=False,
         )[1].q
     )

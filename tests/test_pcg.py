@@ -73,8 +73,14 @@ def test_pcg_real_robot_blocks(model64, rng):
     blocks = kkt.build_qp_gn(m, cfg, X0, U0, goals, dt)
     blocks_reg = blocks._replace(Q=blocks.Q + reg * jnp.eye(12))
     xs = jnp.asarray(rng.normal(size=12) * 0.1)
-    ric = riccati.solve(blocks_reg, xs, 1e-6)
-    sol = pcg.solve(blocks, xs, 1e-6, primal_reg=reg, tol=1e-13, max_iters=800)
+    # jitted (and persistently cached): eager dispatch of the f64 sweeps
+    # costs ~30 s on this box (quick-lane budget, VERDICT r4 #6).
+    ric = jax.jit(lambda b, x: riccati.solve(b, x, 1e-6))(blocks_reg, xs)
+    sol = jax.jit(
+        lambda b, x: pcg.solve(
+            b, x, 1e-6, primal_reg=reg, tol=1e-13, max_iters=800
+        )
+    )(blocks, xs)
     np.testing.assert_allclose(np.asarray(sol.X), np.asarray(ric.X),
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(sol.U), np.asarray(ric.U),

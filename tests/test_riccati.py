@@ -94,15 +94,23 @@ def test_linearization_matches_finite_difference(model64):
     dt = 0.01
     X = jnp.asarray(np.linspace(0.1, 0.4, 2 * 12).reshape(2, 12))
     U = jnp.asarray(np.full((1, 6), 0.5))
-    A, B, c = kkt.linearize_dynamics(m, X, U, dt)
+    A, B, c = jax.jit(lambda X, U: kkt.linearize_dynamics(m, X, U, dt))(X, U)
     from indy7_mpc_tpu.dynamics import euler_step
 
     x, u = X[0], U[0]
     eps = 1e-6
-    for i in range(12):
-        dx = jnp.zeros(12).at[i].set(eps)
-        fd = (euler_step(m, x + dx, u, dt) - euler_step(m, x - dx, u, dt)) / (2 * eps)
-        np.testing.assert_allclose(np.asarray(A[0, :, i]), np.asarray(fd), atol=1e-5)
+    # All 12 central differences in ONE jitted vmap (eager per-direction
+    # euler_steps cost ~40 s on this box; quick-lane budget).
+    fd_all = jax.jit(
+        jax.vmap(
+            lambda dx: (
+                euler_step(m, x + dx, u, dt) - euler_step(m, x - dx, u, dt)
+            ) / (2 * eps)
+        )
+    )(eps * jnp.eye(12))
+    np.testing.assert_allclose(
+        np.asarray(A[0]), np.asarray(fd_all).T, atol=1e-5
+    )
     # structure: top rows are [I, dt I]
     np.testing.assert_allclose(np.asarray(A[0, :6, :6]), np.eye(6), atol=1e-12)
     np.testing.assert_allclose(

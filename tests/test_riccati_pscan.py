@@ -15,8 +15,14 @@ from indy7_mpc_tpu.ops import kkt, riccati, riccati_pscan
 from test_riccati import random_blocks
 
 
-@pytest.mark.parametrize("N,nx,nu", [(8, 12, 6), (32, 12, 6), (5, 4, 2),
-                                     (64, 12, 6)])
+@pytest.mark.parametrize("N,nx,nu", [
+    # quick lane: the odd-shape edge case + the production horizon;
+    # intermediate horizons ride the slow lane (each parametrization is
+    # a separate f64 trace+compile on the 2-core rig).
+    (5, 4, 2), (64, 12, 6),
+    pytest.param(8, 12, 6, marks=pytest.mark.slow),
+    pytest.param(32, 12, 6, marks=pytest.mark.slow),
+])
 def test_pscan_matches_sequential(rng, N, nx, nu):
     rho = 1e-6
     blocks = random_blocks(rng, N, nx, nu, rho)

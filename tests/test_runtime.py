@@ -57,7 +57,7 @@ def test_in_process_loop(model32, tmp_path):
     rec = RunRecorder(out_dir=str(tmp_path), save_interval=1e9)
     rec = run_control_loop(
         ctl, plant, duration=600, rate_hz=100, recorder=rec,
-        walk_disturbance=True, realtime=False, max_ticks=40,
+        walk_disturbance=True, realtime=False, max_ticks=25,
     )
     s = rec.summary()
     assert s["tracking_error_mean"] < 0.5
@@ -89,7 +89,7 @@ def test_udp_loop_against_native_plant(model32, tmp_path, native_build):
         rec = RunRecorder(out_dir=str(tmp_path), save_interval=1e9)
         rec = run_control_loop(
             ctl, transport, duration=600, rate_hz=50, recorder=rec,
-            walk_disturbance=True, max_ticks=60,
+            walk_disturbance=True, max_ticks=40,
         )
         transport.close()
         s = rec.summary()

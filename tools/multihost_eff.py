@@ -21,25 +21,38 @@ ROOT = os.path.join(os.path.dirname(__file__), "..")
 BENCH = os.path.join(ROOT, "examples", "multihost_bench.py")
 
 
-def run_eff(procs, B, ticks, chunk, port):
+def run_bench(procs, B, ticks, chunk, port, efficiency=True):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, BENCH,
+        "--procs", str(procs), "--devices-per-proc", "1",
+        "--B", str(B), "--N", "64", "--sqp-iters", "2",
+        "--ticks", str(ticks), "--chunk", str(chunk),
+        "--port", str(port),
+    ]
+    if efficiency:
+        cmd.append("--efficiency")
     out = subprocess.run(
-        [
-            sys.executable, BENCH,
-            "--procs", str(procs), "--devices-per-proc", "1",
-            "--B", str(B), "--N", "64", "--sqp-iters", "2",
-            "--ticks", str(ticks), "--chunk", str(chunk),
-            "--port", str(port), "--efficiency",
-        ],
-        capture_output=True, text=True, timeout=14400, env=env, cwd=ROOT,
+        cmd, capture_output=True, text=True, timeout=14400, env=env,
+        cwd=ROOT,
     )
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
     lines = [json.loads(l) for l in out.stdout.splitlines()
              if l.startswith("{")]
-    return lines[-1]  # the efficiency record
+    return lines  # [worker record, (efficiency record)]
+
+
+def run_eff(procs, B, ticks, chunk, port):
+    lines = run_bench(procs, B, ticks, chunk, port, efficiency=True)
+    eff = lines[-1]
+    # Surface the worker's collective accounting in the efficiency row.
+    for k in ("consensus_us_per_tick", "consensus_bytes_per_tick"):
+        if k in lines[0]:
+            eff[k] = lines[0][k]
+    return eff
 
 
 def main():
@@ -48,6 +61,8 @@ def main():
     ap.add_argument("--ticks", type=int, default=500)
     ap.add_argument("--chunk", type=int, default=10)
     ap.add_argument("--procs", default="2,4")
+    ap.add_argument("--lanes-per-proc", type=int, default=128,
+                    help="weak-scaling rows: fixed lanes per process")
     ap.add_argument("--out", default=os.path.join(ROOT, "MULTIHOST_EFF.json"))
     args = ap.parse_args()
 
@@ -57,6 +72,32 @@ def main():
                       port=8510 + 10 * i)
         print(json.dumps(rec), flush=True)
         results.append(rec)
+
+    # Weak scaling: FIXED lanes per process (B = lanes_per_proc * procs).
+    # Ideal = constant solves/s/process; this removes the strong-scaling
+    # baseline's shared-thread-pool denominator entirely (VERDICT r4
+    # weak #3a).
+    weak = []
+    for i, procs in enumerate([1] + [int(p) for p in args.procs.split(",")]):
+        rec = run_bench(
+            procs, args.lanes_per_proc * procs, args.ticks, args.chunk,
+            port=8560 + 10 * i, efficiency=False,
+        )[0]
+        row = {
+            "metric": "weak_scaling",
+            "procs": procs,
+            "B": args.lanes_per_proc * procs,
+            "lanes_per_proc": args.lanes_per_proc,
+            "solves_per_sec_per_proc": round(
+                rec["solves_per_sec"] / procs, 1
+            ),
+            "solves_per_sec": rec["solves_per_sec"],
+        }
+        for k in ("consensus_us_per_tick", "consensus_bytes_per_tick"):
+            if k in rec:
+                row[k] = rec[k]
+        print(json.dumps(row), flush=True)
+        weak.append(row)
 
     doc = {
         "protocol": (
@@ -69,6 +110,27 @@ def main():
         "config": {"B": args.B, "N": 64, "sqp_iters": 2,
                    "ticks": args.ticks, "chunk": args.chunk},
         "results": results,
+        "weak_scaling": weak,
+        "notes": {
+            "why_efficiency_exceeds_1": (
+                "the single-process baseline owns the same total virtual "
+                "devices inside ONE XLA runtime on a 2-core host, so it "
+                "is intra-op thread-pool-bound; separate processes get "
+                "genuinely parallel runtimes.  The weak_scaling rows "
+                "(fixed lanes/process, solves/s/process vs the 1-process "
+                "row) carry no such denominator; the per-tick collective "
+                "cost is measured in isolation as consensus_us_per_tick "
+                "(argmin allreduce + winner trajectory broadcast, "
+                "consensus_bytes_per_tick on the wire)."
+            ),
+            "measured_solver": (
+                "this CPU rig runs the readable vmap solver with its f64 "
+                "Riccati stabilization (x64 enabled in the worker entry "
+                "point), NOT the f32 fused TPU kernel; the numbers "
+                "quantify fabric/collective overhead at production "
+                "shape, not kernel throughput"
+            ),
+        },
         "target": ">=0.8 (BASELINE.md north star)",
     }
     with open(args.out, "w") as f:
