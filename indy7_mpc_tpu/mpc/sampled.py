@@ -129,7 +129,29 @@ def _sampled_tick_impl(
     )
     res = solve(xs_b, goals_b, X_b, U_b, f_batch)
 
-    best, _ = find_best_lane(model, x_last, u_last, x_obs, dt, f_batch)
+    # Consensus scoring: on TPU with the production config the B
+    # one-step RK4 predictions + argmin run inside the tick-epilogue
+    # kernel (ops/pallas/tick_kernel.py — its plant/FK byproducts are
+    # ignored here); the host-dispatch tick then carries no long XLA op
+    # chain.  Elsewhere (CPU rig, injected solvers) the readable
+    # predict-and-argmin path serves — and is the kernel's oracle
+    # (tests/test_fused_tick.py).
+    from ..solvers.select import is_tpu_device, kernel_supports
+
+    if batch_solve_fn is None and kernel_supports(cost_cfg, sqp_cfg) \
+            and is_tpu_device():
+        from ..ops.pallas import tick_kernel
+
+        T = max(8, -(-B // 8) * 8)
+        fb_T = jnp.zeros((6, T), f_batch.dtype).at[:, :B].set(f_batch.T)
+        U0_T = jnp.zeros((6, T), res.U.dtype).at[:, :B].set(res.U[:, 0].T)
+        ep = tick_kernel.tick_epilogue(
+            model, model, None, dt, x_obs, x_last, u_last,
+            fb_T, U0_T, jnp.zeros(6, f_batch.dtype), B=B,
+        )
+        best = ep.best
+    else:
+        best, _ = find_best_lane(model, x_last, u_last, x_obs, dt, f_batch)
     key_r, _ = jax.random.split(key)
     f_new = resample_wrench_batch(key_r, f_batch, best, sample_cfg)
 

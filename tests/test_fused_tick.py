@@ -202,3 +202,50 @@ def test_epilogue_kernel_matches_xla_pieces():
     np.testing.assert_allclose(
         np.asarray(ep.eep), np.asarray(eep_ref), atol=1e-5
     )
+
+
+def test_sampled_tick_kernel_consensus_matches_readable():
+    """The host-mode sampled_tick's in-kernel consensus (auto path on
+    TPU) must pick the same winner and controls as the readable
+    predict-and-argmin path (forced by injecting the default solver as
+    an explicit batch_solve_fn)."""
+    import jax
+    import jax.numpy as jnp
+
+    from indy7_mpc_tpu.config import CostConfig, SampleConfig, SQPConfig
+    from indy7_mpc_tpu.models import indy7
+    from indy7_mpc_tpu.mpc.sampled import init_wrench_batch, sampled_tick
+    from indy7_mpc_tpu.solvers.select import default_batch_solve_fn
+
+    model = indy7(dtype=jnp.float32)
+    B, N, dt = 16, 16, 0.01
+    cost_cfg = CostConfig()
+    sqp_cfg = SQPConfig(max_iters=2)
+    sample_cfg = SampleConfig(batch_size=B, f_ext_std=20.0)
+    key = jax.random.PRNGKey(5)
+    x = jnp.zeros(12, jnp.float32).at[:6].set(
+        jnp.asarray(INIT_Q, jnp.float32)
+    )
+    x_last = x + 0.005 * jax.random.normal(key, (12,), jnp.float32)
+    u_last = 4.0 * jax.random.normal(jax.random.PRNGKey(6), (6,),
+                                     jnp.float32)
+    goals = jnp.tile(jnp.asarray([0.35, 0.35, 0.6], jnp.float32), (N, 1))
+    X = jnp.zeros((N, 12), jnp.float32)
+    U = jnp.zeros((N - 1, 6), jnp.float32)
+    f_batch = init_wrench_batch(jax.random.PRNGKey(7), sample_cfg)
+
+    args = (model, cost_cfg, sqp_cfg, sample_cfg, dt, key, x, x_last,
+            u_last, goals, X, U, f_batch)
+    out_auto = sampled_tick(*args)  # TPU: kernel consensus
+    out_ref = sampled_tick(         # readable consensus, same solver
+        *args,
+        batch_solve_fn=default_batch_solve_fn(model, cost_cfg, sqp_cfg, dt),
+    )
+    assert int(out_auto.best_idx) == int(out_ref.best_idx)
+    np.testing.assert_allclose(
+        np.asarray(out_auto.u), np.asarray(out_ref.u), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_auto.f_batch), np.asarray(out_ref.f_batch),
+        atol=1e-6,
+    )
