@@ -41,6 +41,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def worker(args) -> None:
+    # Disable the dynamics-layer inner jit for this worker: it trades
+    # ~3x faster TRACING for measurably slower XLA:CPU COMPILATION of
+    # very large programs; the N=64 lane-sharded loop's compile grew
+    # past the gloo pair idle timeout (observed: "Gloo AllGather
+    # failed: Application timeout caused pair closure" at the first
+    # post-compile collective).  Must be set before indy7 imports.
+    os.environ["INDY7_INNER_JIT"] = "0"
+
     from indy7_mpc_tpu.parallel import distributed as dist
 
     if args.devices_per_proc > 0:
@@ -139,28 +147,49 @@ def worker(args) -> None:
     # reduction (argmin over the lane-sharded prediction errors) and the
     # winner-trajectory gather/broadcast.  Measure exactly those ops at
     # the production shape under the same mesh, isolated from the solve.
+    # Multi-process only: under a 1-process gloo runtime the standalone
+    # jitted collective dies with "Gloo AllGather failed: Connection
+    # closed by peer" (no real pairs exist); the single-process baseline
+    # run therefore skips it.  The dedicated harness is
+    # tools/consensus_collective_bench.py.
+    consensus_us = None
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     lanes_sh = NamedSharding(mesh, P("lanes"))
-    err_sh = jax.device_put(
-        jnp.arange(B, dtype=dtype) + 1.0, lanes_sh
-    )
-    Xb_sh = jax.device_put(jnp.zeros((B, N, 12), dtype), lanes_sh)
-    Ub_sh = jax.device_put(jnp.zeros((B, N - 1, 6), dtype), lanes_sh)
+    if jax.process_count() > 1:
+        per = B // len(jax.devices())
+        lo = jax.process_index() * per * (
+            len(jax.local_devices())
+        )
+        err_l = np.arange(
+            lo, lo + per * len(jax.local_devices()), dtype=np.float32
+        ) + 1.0
+        err_sh = jax.make_array_from_process_local_data(
+            lanes_sh, err_l, (B,)
+        )
+        Xb_sh = jax.make_array_from_process_local_data(
+            lanes_sh,
+            np.zeros((err_l.shape[0], N, 12), np.float32), (B, N, 12),
+        )
+        Ub_sh = jax.make_array_from_process_local_data(
+            lanes_sh,
+            np.zeros((err_l.shape[0], N - 1, 6), np.float32),
+            (B, N - 1, 6),
+        )
 
-    @jax.jit
-    def consensus(err, Xb, Ub):
-        best = jnp.argmin(err)
-        return best, Xb[best], Ub[best]
+        @jax.jit
+        def consensus(err, Xb, Ub):
+            best = jnp.argmin(err)
+            return best, Xb[best], Ub[best]
 
-    out = consensus(err_sh, Xb_sh, Ub_sh)
-    jax.block_until_ready(out)
-    reps = 200
-    t0c = time.perf_counter()
-    for _ in range(reps):
         out = consensus(err_sh, Xb_sh, Ub_sh)
-    jax.block_until_ready(out)
-    consensus_us = (time.perf_counter() - t0c) / reps * 1e6
+        jax.block_until_ready(out)
+        reps = 200
+        t0c = time.perf_counter()
+        for _ in range(reps):
+            out = consensus(err_sh, Xb_sh, Ub_sh)
+        jax.block_until_ready(out)
+        consensus_us = (time.perf_counter() - t0c) / reps * 1e6
     # Analytic wire bytes: winner X/U broadcast to every non-owning
     # device + the argmin allreduce of one (value, index) pair per device.
     n_dev = len(jax.devices())

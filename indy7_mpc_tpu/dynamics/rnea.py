@@ -17,11 +17,29 @@ elementwise op over the lane batch.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def _inner_jit(fn=None, **jit_kwargs):
+    """jax.jit unless INDY7_INNER_JIT=0.
+
+    The inner jit makes repeated trace re-entries reuse one cached
+    jaxpr (3.5x faster solver traces — the CPU test lane's dominant
+    cost), but the extra function boundaries measurably slow XLA:CPU
+    compilation of very large programs (the N=64 lane-sharded loop);
+    multi-process workers whose gloo pairs idle-time-out during long
+    compiles disable it (examples/multihost_bench.py).
+    """
+    if os.environ.get("INDY7_INNER_JIT", "1") == "0":
+        return fn if fn is not None else (lambda f: f)
+    if fn is None:
+        return partial(jax.jit, **jit_kwargs)
+    return jax.jit(fn, **jit_kwargs)
 
 from ..models import spatial
 from ..models.robot import RobotModel
@@ -38,7 +56,7 @@ def _link_inertia(model: RobotModel, i):
     return m, h, I_o
 
 
-@partial(jax.jit, static_argnames=("gravity",))
+@_inner_jit(static_argnames=("gravity",))
 def rnea(
     model: RobotModel,
     q,
@@ -150,7 +168,7 @@ def _inertia_to_parent(R, p, m, h, I_o):
     return m, m[..., None] * c_new, I_o_new
 
 
-@jax.jit
+@_inner_jit
 def crba(model: RobotModel, q) -> jnp.ndarray:
     """Joint-space mass matrix via the composite-rigid-body algorithm.
 
